@@ -1,0 +1,120 @@
+"""Homography: 3x3 projective transform as a JAX pytree value type.
+
+Reference parity: ``lvk::Homography`` (reference Math/Homography.hpp:26-112,
+Math/Homography.cpp) — point/vector transforms, warping, inversion, algebra,
+and construction from affine/similarity parameters.
+
+TPU-native notes: a Homography is a tiny (3, 3) float32 tensor; everything
+here is closed-form math that vmaps cleanly, so RANSAC can evaluate hundreds
+of hypotheses in one batched op (see vision/ransac.py).  Point convention:
+points are (..., 2) arrays ordered (x, y); sample maps for remap are (2, H, W)
+ordered (y, x) — conversion happens only in `sample_map`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from livevisionkit_tpu.ops import remap as remap_ops
+
+
+class Homography(struct.PyTreeNode):
+    m: jax.Array  # (3, 3) float32
+
+    # ---- constructors ------------------------------------------------------
+
+    @classmethod
+    def identity(cls) -> "Homography":
+        return cls(m=jnp.eye(3, dtype=jnp.float32))
+
+    @classmethod
+    def from_matrix(cls, m: jax.Array) -> "Homography":
+        return cls(m=jnp.asarray(m, jnp.float32))
+
+    @classmethod
+    def from_affine(cls, a: jax.Array) -> "Homography":
+        """From a 2x3 affine matrix (reference Homography::FromAffineMatrix,
+        Math/Homography.cpp)."""
+        bottom = jnp.array([[0.0, 0.0, 1.0]], jnp.float32)
+        return cls(m=jnp.concatenate([jnp.asarray(a, jnp.float32), bottom], axis=0))
+
+    @classmethod
+    def from_similarity(
+        cls, scale: jax.Array, angle: jax.Array, tx: jax.Array, ty: jax.Array
+    ) -> "Homography":
+        """Similarity transform: scale * R(angle) + translation."""
+        c = scale * jnp.cos(angle)
+        s = scale * jnp.sin(angle)
+        a = jnp.stack(
+            [
+                jnp.stack([c, -s, tx]),
+                jnp.stack([s, c, ty]),
+            ]
+        )
+        return cls.from_affine(a)
+
+    @classmethod
+    def from_quad(cls, src: jax.Array, dst: jax.Array) -> "Homography":
+        """Exact homography mapping 4 src points to 4 dst points, both (4, 2)
+        (x, y).  Solved as the standard 8x8 DLT linear system with h33 = 1
+        (equivalent of cv::getPerspectiveTransform; used for the reference's
+        exact 2x2-mesh warp fast path, Math/WarpMesh.cpp:196-218, and as the
+        RANSAC minimal solver).  Degenerate configurations yield a non-finite
+        matrix which callers must mask out (RANSAC scores them to -inf).
+        """
+        x, y = src[:, 0], src[:, 1]
+        u, v = dst[:, 0], dst[:, 1]
+        zeros = jnp.zeros_like(x)
+        ones = jnp.ones_like(x)
+        rows_u = jnp.stack([x, y, ones, zeros, zeros, zeros, -u * x, -u * y], axis=-1)
+        rows_v = jnp.stack([zeros, zeros, zeros, x, y, ones, -v * x, -v * y], axis=-1)
+        a = jnp.concatenate([rows_u, rows_v], axis=0)  # (8, 8)
+        b = jnp.concatenate([u, v], axis=0)  # (8,)
+        h8 = jnp.linalg.solve(a, b)
+        m = jnp.concatenate([h8, jnp.ones((1,), h8.dtype)]).reshape(3, 3)
+        return cls(m=m)
+
+    # ---- algebra -----------------------------------------------------------
+
+    def __matmul__(self, other: "Homography") -> "Homography":
+        """Composition: (self @ other)(p) == self(other(p))."""
+        return Homography(m=self.m @ other.m)
+
+    def inverse(self) -> "Homography":
+        return Homography(m=jnp.linalg.inv(self.m))
+
+    def normalized(self) -> "Homography":
+        """Scale so m[2,2] == 1 (projective scale ambiguity)."""
+        return Homography(m=self.m / self.m[2, 2])
+
+    # ---- application -------------------------------------------------------
+
+    def transform(self, pts: jax.Array) -> jax.Array:
+        """Transform (..., 2) (x, y) points (reference Homography::transform,
+        Math/Homography.cpp:116-158)."""
+        ones = jnp.ones(pts.shape[:-1] + (1,), pts.dtype)
+        ph = jnp.concatenate([pts, ones], axis=-1)
+        out = ph @ self.m.astype(pts.dtype).T
+        return out[..., :2] / out[..., 2:3]
+
+    def sample_map(self, size: tuple[int, int]) -> jax.Array:
+        """(2, H, W) backward sample map such that remap(img, map) warps img
+        by this homography — i.e. output(u) = input(H^-1 u), matching
+        cv::warpPerspective (reference Homography::warp, Math/Homography
+        .cpp:186-192)."""
+        h, w = size
+        inv = jnp.linalg.inv(self.m)
+        idm = remap_ops.identity_map(size)  # (2, H, W) as (y, x)
+        pts = jnp.stack([idm[1], idm[0], jnp.ones_like(idm[0])])  # homogeneous (x,y,1)
+        src = jnp.einsum("ij,jhw->ihw", inv.astype(idm.dtype), pts)
+        sx = src[0] / src[2]
+        sy = src[1] / src[2]
+        return jnp.stack([sy, sx])
+
+    def warp(
+        self, img: jax.Array, fill: jax.Array | float | None = 0.0
+    ) -> jax.Array:
+        """Warp (C, H, W) or (H, W) image by this homography."""
+        return remap_ops.remap(img, self.sample_map(img.shape[-2:]), fill=fill)

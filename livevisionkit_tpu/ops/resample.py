@@ -1,0 +1,158 @@
+"""Resize, pyramid, blur, and gradient ops on planar (C, H, W) / (H, W) tensors.
+
+Reference parity:
+  * detection-resolution downscale: cv::resize INTER_AREA/LINEAR used by
+    FrameTracker (reference Vision/FrameTracker.cpp:117).
+  * pyramid build: cv::buildOpticalFlowPyramid's pyrDown (5-tap binomial blur
+    + 2x decimation) used inside SparsePyrLKOpticalFlow
+    (reference Vision/FrameTracker.cpp:140-146).
+  * spatial gradients: OpenCV LK's Scharr 3x3 derivative.
+
+TPU-native notes: all of these are static-shape stencil ops that XLA fuses and
+tiles onto the VPU; convolutions use reflect padding done explicitly with
+jnp.pad (mirroring OpenCV BORDER_REFLECT_101) since lax.conv only pads with
+zeros.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# 5-tap binomial (Gaussian approx) used by cv::pyrDown.
+_BINOMIAL5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+
+# Scharr 3x3 derivative, OpenCV normalisation (1/32).
+_SCHARR_D = jnp.array([-1.0, 0.0, 1.0])
+_SCHARR_S = jnp.array([3.0, 10.0, 3.0]) / 32.0
+
+
+def _sep_conv2d(img: jax.Array, kh: jax.Array, kw: jax.Array) -> jax.Array:
+    """Separable 2-D correlation with reflect-101 padding.
+
+    img: (..., H, W); kh/kw: 1-D kernels applied along H / W.
+    """
+    ph, pw = len(kh) // 2, len(kw) // 2
+    x = jnp.pad(
+        img,
+        [(0, 0)] * (img.ndim - 2) + [(ph, ph), (pw, pw)],
+        mode="reflect",
+    )
+    batch_shape = x.shape[:-2]
+    x = x.reshape((-1, 1) + x.shape[-2:])
+    dn = lax.conv_dimension_numbers(x.shape, (1, 1, 1, 1), ("NCHW", "OIHW", "NCHW"))
+    x = lax.conv_general_dilated(
+        x, kh.astype(x.dtype).reshape(1, 1, -1, 1), (1, 1), "VALID", dimension_numbers=dn
+    )
+    x = lax.conv_general_dilated(
+        x, kw.astype(x.dtype).reshape(1, 1, 1, -1), (1, 1), "VALID", dimension_numbers=dn
+    )
+    return x.reshape(batch_shape + x.shape[-2:])
+
+
+def gaussian_blur5(img: jax.Array) -> jax.Array:
+    """5-tap binomial blur (cv::pyrDown's smoothing kernel)."""
+    return _sep_conv2d(img, _BINOMIAL5, _BINOMIAL5)
+
+
+def pyr_down(img: jax.Array) -> jax.Array:
+    """One pyramid level: binomial blur + 2x decimation (cv::pyrDown).
+
+    Output spatial dims are ceil(n/2), matching OpenCV.
+    """
+    blurred = gaussian_blur5(img)
+    return blurred[..., ::2, ::2]
+
+
+def build_pyramid(img: jax.Array, levels: int) -> list[jax.Array]:
+    """Image pyramid [level0=img, level1=half, ...], `levels` entries total."""
+    pyr = [img]
+    for _ in range(levels - 1):
+        pyr.append(pyr_down(pyr[-1]))
+    return pyr
+
+
+def scharr_gradients(img: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(dx, dy) Scharr 3x3 gradients with OpenCV's 1/32 scaling."""
+    dx = _sep_conv2d(img, _SCHARR_S, _SCHARR_D)
+    dy = _sep_conv2d(img, _SCHARR_D, _SCHARR_S)
+    return dx, dy
+
+
+def resize(img: jax.Array, size: tuple[int, int], antialias: bool = True) -> jax.Array:
+    """Bilinear resize of (..., H, W) to (..., size[0], size[1]).
+
+    Matches cv::resize INTER_LINEAR for upscaling; with antialias=True the
+    downscale behaves like INTER_AREA (what the reference uses for the
+    detection-resolution downscale, FrameTracker.cpp:117).
+    """
+    out_shape = img.shape[:-2] + tuple(size)
+    return jax.image.resize(img, out_shape, method="linear", antialias=antialias)
+
+
+def resize_corner_aligned(img: jax.Array, size: tuple[int, int]) -> jax.Array:
+    """Bilinear resize with CORNER alignment: output corner pixels sample the
+    input corner pixels exactly (align_corners=True).
+
+    This is the correct interpolation for WarpField grids, whose control
+    points are defined corner-aligned over the frame (reference VirtualGrid
+    alignment, Math/VirtualGrid.cpp:85-117): output pixel i samples input
+    coordinate i*(in-1)/(out-1).  Implemented via jax.image.scale_and_translate
+    whose convention is in = (out + 0.5 - t)/s - 0.5, so s=(out-1)/(in-1),
+    t = 0.5 - 0.5*s (verified by test_resample.py).
+    """
+    in_h, in_w = img.shape[-2], img.shape[-1]
+    out_h, out_w = size
+    if (in_h, in_w) == (out_h, out_w):
+        return img
+    if in_h == 1 or in_w == 1:
+        raise ValueError("corner-aligned resize needs >= 2 samples per axis")
+    sh = (out_h - 1) / (in_h - 1)
+    sw = (out_w - 1) / (in_w - 1)
+    scale = jnp.array([sh, sw], jnp.float32)
+    translation = 0.5 - 0.5 * scale
+    lead = img.shape[:-2]
+    x = img.reshape((-1,) + img.shape[-2:])
+    out = jax.image.scale_and_translate(
+        x,
+        (x.shape[0], out_h, out_w),
+        (1, 2),
+        scale,
+        translation,
+        method="linear",
+        antialias=False,
+    )
+    return out.reshape(lead + (out_h, out_w))
+
+
+def median_blur(img: jax.Array, ksize: int) -> jax.Array:
+    """ksize x ksize median filter (cv::medianBlur), reflect-padded.
+
+    Used by the deblocker's smoothing pass (reference
+    Filters/DeblockingFilter.cpp:73-77).  Implemented as a sort over the
+    ksize^2 shifted copies — static shapes, VPU-friendly; ksize is small (5).
+    """
+    r = ksize // 2
+    x = jnp.pad(img, [(0, 0)] * (img.ndim - 2) + [(r, r), (r, r)], mode="reflect")
+    h, w = img.shape[-2], img.shape[-1]
+    patches = jnp.stack(
+        [
+            lax.dynamic_slice_in_dim(
+                lax.dynamic_slice_in_dim(x, dy, h, axis=-2), dx, w, axis=-1
+            )
+            for dy in range(ksize)
+            for dx in range(ksize)
+        ],
+        axis=0,
+    )
+    return jnp.median(patches, axis=0)
+
+
+def avg_pool(img: jax.Array, block: int) -> jax.Array:
+    """Non-overlapping block mean over trailing (H, W); H, W must divide."""
+    *lead, h, w = img.shape
+    x = img.reshape(*lead, h // block, block, w // block, block)
+    return x.mean(axis=(-3, -1))
