@@ -19,7 +19,25 @@ threads.
 
 __version__ = "0.1.0"
 
+from livevisionkit_tpu.config import (
+    DeblockingFilterSettings,
+    FeatureDetectorSettings,
+    FrameTrackerSettings,
+    MotionEstimationSettings,
+    OpticalFlowSettings,
+    PathSmootherSettings,
+    ScalingFilterSettings,
+    StabilizationFilterSettings,
+)
 from livevisionkit_tpu.data.frame import Frame, PixelFormat
+from livevisionkit_tpu.filters.base import (
+    CompositeFilter,
+    ConversionFilter,
+    FrameSpec,
+    IdentityFilter,
+    VideoFilter,
+)
+from livevisionkit_tpu.filters.stabilization import StabilizationFilter
 from livevisionkit_tpu.models.homography import Homography
 from livevisionkit_tpu.models.warp_field import WarpField
 
@@ -28,5 +46,19 @@ __all__ = [
     "PixelFormat",
     "Homography",
     "WarpField",
+    "FrameSpec",
+    "VideoFilter",
+    "IdentityFilter",
+    "CompositeFilter",
+    "ConversionFilter",
+    "StabilizationFilter",
+    "FeatureDetectorSettings",
+    "OpticalFlowSettings",
+    "MotionEstimationSettings",
+    "FrameTrackerSettings",
+    "PathSmootherSettings",
+    "StabilizationFilterSettings",
+    "DeblockingFilterSettings",
+    "ScalingFilterSettings",
     "__version__",
 ]

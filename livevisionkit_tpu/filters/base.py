@@ -1,0 +1,149 @@
+"""VideoFilter: the functional filter protocol + composition.
+
+Reference parity: ``lvk::VideoFilter`` (reference Filters/VideoFilter.hpp:
+32-64) — the `apply(input, output)` virtual base every filter implements —
+and ``lvk::CompositeFilter`` (Filters/CompositeFilter.cpp:60-88), the
+sequential chain where an empty output breaks the chain (delay filters).
+
+TPU-native design: a filter is a **pure step function** over an explicit
+state pytree:
+
+    state = filter.init(spec)
+    state, out_frame = filter.step(state, in_frame)     # jittable
+
+There are no virtual calls inside jit — a CompositeFilter unrolls its
+(statically known) chain at trace time, so XLA fuses across filter
+boundaries.  The reference's "empty output" protocol becomes the Frame
+`valid` flag: shapes never change, but a filter whose output is not ready
+yet (e.g. the stabilizer during its delay warm-up) emits valid=False, and
+downstream filters must not corrupt their temporal state from invalid
+frames — `where_state` is the helper for that.
+
+The reference's 3-thread `stream()` pipeline (VideoFilter.cpp:62-209) is a
+host-side concern and lives in runtime/stream.py (async dispatch +
+double-buffered device feed replace reader/filter/writer threads).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from livevisionkit_tpu.data.frame import Frame
+from livevisionkit_tpu.types import PixelFormat
+
+
+@dataclass(frozen=True)
+class FrameSpec:
+    """Static description of a video stream's frames."""
+
+    height: int
+    width: int
+    channels: int = 3
+    format: PixelFormat = PixelFormat.RGB
+
+    @classmethod
+    def of(cls, frame: Frame) -> "FrameSpec":
+        return cls(
+            height=frame.height,
+            width=frame.width,
+            channels=frame.channels,
+            format=frame.format,
+        )
+
+    @property
+    def size(self) -> tuple[int, int]:
+        return (self.height, self.width)
+
+
+def where_state(pred: jax.Array, new: Any, old: Any) -> Any:
+    """Select between two state pytrees elementwise (state-update gating for
+    invalid input frames)."""
+    return jax.tree.map(lambda a, b: jnp.where(pred, a, b), new, old)
+
+
+class VideoFilter:
+    """Base class: stateless configuration object + pure step function."""
+
+    def init(self, spec: FrameSpec) -> Any:
+        """Create the initial state pytree for a stream of `spec` frames."""
+        return ()
+
+    def step(self, state: Any, frame: Frame) -> tuple[Any, Frame]:
+        """Process one frame. Must be jit-traceable with static `self`."""
+        raise NotImplementedError
+
+    def output_spec(self, spec: FrameSpec) -> FrameSpec:
+        """Spec of output frames (scaling/conversion filters override)."""
+        return spec
+
+    @property
+    def delay(self) -> int:
+        """Output latency in frames (0 unless the filter buffers)."""
+        return 0
+
+    @property
+    def name(self) -> str:
+        return type(self).__name__
+
+
+class IdentityFilter(VideoFilter):
+    """Pass-through (reference IdentityFilter, VideoFilter.hpp:62-64)."""
+
+    def step(self, state: Any, frame: Frame) -> tuple[Any, Frame]:
+        return state, frame
+
+
+@dataclass(frozen=True)
+class CompositeFilter(VideoFilter):
+    """Sequential chain (reference CompositeFilter.cpp:60-88).  The chain is
+    static; per-filter enable flags of the reference map to just not putting
+    the filter in the chain (reconfigure = rebuild, it's all cheap jit)."""
+
+    filters: tuple[VideoFilter, ...]
+
+    def init(self, spec: FrameSpec) -> Any:
+        states = []
+        for f in self.filters:
+            states.append(f.init(spec))
+            spec = f.output_spec(spec)
+        return tuple(states)
+
+    def step(self, state: Any, frame: Frame) -> tuple[Any, Frame]:
+        new_states = []
+        for f, s in zip(self.filters, state):
+            s, frame = f.step(s, frame)
+            new_states.append(s)
+        return tuple(new_states), frame
+
+    def output_spec(self, spec: FrameSpec) -> FrameSpec:
+        for f in self.filters:
+            spec = f.output_spec(spec)
+        return spec
+
+    @property
+    def delay(self) -> int:
+        return sum(f.delay for f in self.filters)
+
+    @property
+    def name(self) -> str:
+        return "+".join(f.name for f in self.filters)
+
+
+@dataclass(frozen=True)
+class ConversionFilter(VideoFilter):
+    """Colour conversion (reference ConversionFilter.hpp:29-33)."""
+
+    target: PixelFormat
+
+    def step(self, state: Any, frame: Frame) -> tuple[Any, Frame]:
+        return state, frame.reformat(self.target)
+
+    def output_spec(self, spec: FrameSpec) -> FrameSpec:
+        return dataclasses.replace(
+            spec, format=self.target, channels=self.target.channels
+        )

@@ -1,0 +1,163 @@
+"""StabilizationFilter: the end-to-end video stabilizer.
+
+Reference parity: ``lvk::StabilizationFilter`` (reference
+Filters/StabilizationFilter.cpp): GRAY view -> FrameTracker::track (:98),
+QA policy — scene-quality EMA and a trust factor stepped toward 0/1 with
+motion scaled by trust (`motion *= m_TrustFactor`, :101-115, rates :29-30,
+instant drop on a tracking discontinuity), frame pushed into the delay
+buffer (:118), PathSmoother correction applied to the delayed frame via the
+warp (:117-134), optional stable-region crop, and a bypass path that only
+maintains delay/crop when disabled (:77-95); `stable_region()` (:199-205).
+
+TPU-native design: ONE pure step `(state, frame) -> (state, frame)` holding
+tracker pyramid/features, the trajectory window, the frame delay queue and
+the QA scalars in a single carry pytree — jit once, then drive it from the
+streaming runtime (live mode) or `lax.scan` (offline mode).  Invalid input
+frames (upstream warm-up) pass through the delay queue but freeze the
+tracking state, so a chain of delay filters composes correctly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from livevisionkit_tpu.config import StabilizationFilterSettings
+from livevisionkit_tpu.data.frame import Frame
+from livevisionkit_tpu.data.stream_buffer import StreamBuffer
+from livevisionkit_tpu.filters.base import FrameSpec, VideoFilter, where_state
+from livevisionkit_tpu.models.homography import Homography
+from livevisionkit_tpu.models.warp_field import WarpField
+from livevisionkit_tpu.vision import frame_tracker, path_smoother
+
+
+class StabilizerState(struct.PyTreeNode):
+    tracker: frame_tracker.TrackerState
+    smoother: path_smoother.SmootherState
+    frames: StreamBuffer  # delay queue of Frames (capacity N+1)
+    scene_quality: jax.Array  # EMA of tracking stability (observability + QA)
+    trust: jax.Array  # motion trust factor in [0, 1]
+
+
+@dataclass(frozen=True)
+class StabilizationFilter(VideoFilter):
+    settings: StabilizationFilterSettings = field(
+        default_factory=StabilizationFilterSettings
+    )
+    enabled: bool = True  # bypass path: maintain delay/crop only (:77-95)
+
+    # ------------------------------------------------------------------
+
+    def init(self, spec: FrameSpec) -> StabilizerState:
+        s = self.settings
+        template = Frame.create(
+            jnp.zeros((spec.channels, spec.height, spec.width), jnp.float32),
+            fmt=spec.format,
+            valid=False,
+        )
+        return StabilizerState(
+            tracker=frame_tracker.init(s.tracker),
+            smoother=path_smoother.init(s.smoother, s.tracker.motion_resolution),
+            frames=StreamBuffer.create(template, s.smoother.predictive_samples + 1),
+            scene_quality=jnp.asarray(0.0, jnp.float32),
+            trust=jnp.asarray(0.0, jnp.float32),
+        )
+
+    @property
+    def delay(self) -> int:
+        return self.settings.smoother.predictive_samples
+
+    def stable_region_margin(self) -> float:
+        """Fraction of the frame on each side that may be consumed by
+        corrections (reference stable_region, StabilizationFilter.cpp:199-205)."""
+        return path_smoother.scene_margins(self.settings.smoother)
+
+    # ------------------------------------------------------------------
+
+    def _crop_field(self, field_shape: tuple[int, int], size) -> WarpField:
+        """Zoom-into-stable-region warp (output(u) = corrected(z(u)))."""
+        m = self.stable_region_margin()
+        s = 1.0 - 2.0 * m
+        h, w = size
+        z = Homography.from_similarity(
+            jnp.float32(s),
+            jnp.float32(0.0),
+            jnp.float32(m * (w - 1)),
+            jnp.float32(m * (h - 1)),
+        )
+        # from_homography builds o = H^-1(u) - u; we need o = z(u) - u.
+        return WarpField.from_homography(z.inverse(), field_shape, size)
+
+    def step(self, state: StabilizerState, frame: Frame) -> tuple[Any, Frame]:
+        s = self.settings
+
+        if self.enabled:
+            # ---- track (on valid frames only) -----------------------------
+            tracker_state, result = frame_tracker.track(
+                state.tracker, frame.luma(), s.tracker
+            )
+            tracker_state = where_state(frame.valid, tracker_state, state.tracker)
+            ok = result.ok & frame.valid
+
+            # ---- QA: scene-quality EMA + trust servo ----------------------
+            # (StabilizationFilter.cpp:101-115: discontinuity -> trust 0,
+            # otherwise step up; motion scaled by trust.)
+            scene_quality = state.scene_quality + s.trust_raise_rate * (
+                result.stability - state.scene_quality
+            )
+            scene_quality = jnp.where(frame.valid, scene_quality, state.scene_quality)
+            good = ok & (result.stability >= s.min_tracking_quality)
+            trust = jnp.where(
+                good,
+                jnp.minimum(state.trust + s.trust_raise_rate, 1.0),
+                jnp.maximum(state.trust - s.trust_drop_rate, 0.0),
+            )
+            # A tracking discontinuity on a REAL frame zeroes trust instantly
+            # (StabilizationFilter.cpp:101-115); invalid upstream frames
+            # (warm-up bubbles) freeze it instead.
+            trust = jnp.where(result.ok, trust, 0.0)
+            trust = jnp.where(frame.valid, trust, state.trust)
+            motion = result.motion * trust
+        else:
+            tracker_state = state.tracker
+            scene_quality = state.scene_quality
+            trust = jnp.asarray(0.0, jnp.float32)
+            motion = WarpField.identity(s.tracker.motion_resolution)
+
+        # ---- path smoothing ----------------------------------------------
+        smoother_state, correction, ready = path_smoother.next_correction(
+            state.smoother, motion, s.smoother
+        )
+        smoother_state = where_state(frame.valid, smoother_state, state.smoother)
+
+        # ---- delay queue --------------------------------------------------
+        frames = state.frames.push(frame)
+        delayed: Frame = frames.oldest()
+        queue_full = frames.is_full()
+
+        # ---- corrective warp ---------------------------------------------
+        warp = correction
+        if s.crop_output:
+            warp = correction.compose(
+                self._crop_field(warp.field_shape, delayed.size)
+            )
+        if self.enabled or s.crop_output:
+            out_pixels = warp.apply(delayed.pixels, fill=0.0)
+        else:
+            out_pixels = delayed.pixels
+        out = delayed.replace(
+            pixels=out_pixels,
+            valid=delayed.valid & queue_full & ready,
+        )
+        new_state = StabilizerState(
+            tracker=tracker_state,
+            smoother=smoother_state,
+            frames=frames,
+            scene_quality=scene_quality,
+            trust=trust,
+        )
+        return new_state, out

@@ -99,13 +99,15 @@ class Homography(struct.PyTreeNode):
         out = ph @ self.m.astype(pts.dtype).T
         return out[..., :2] / out[..., 2:3]
 
-    def sample_map(self, size: tuple[int, int]) -> jax.Array:
+    def sample_map(self, size: tuple[int, int], inverse: bool = True) -> jax.Array:
         """(2, H, W) backward sample map such that remap(img, map) warps img
         by this homography — i.e. output(u) = input(H^-1 u), matching
         cv::warpPerspective (reference Homography::warp, Math/Homography
-        .cpp:186-192)."""
+        .cpp:186-192).  With inverse=False the map samples at H(u) directly
+        (output(u) = input(H u)), useful for rendering 'the scene as seen
+        from pose H'."""
         h, w = size
-        inv = jnp.linalg.inv(self.m)
+        inv = jnp.linalg.inv(self.m) if inverse else self.m
         idm = remap_ops.identity_map(size)  # (2, H, W) as (y, x)
         pts = jnp.stack([idm[1], idm[0], jnp.ones_like(idm[0])])  # homogeneous (x,y,1)
         src = jnp.einsum("ij,jhw->ihw", inv.astype(idm.dtype), pts)

@@ -1,0 +1,150 @@
+"""Sparse pyramidal Lucas-Kanade optical flow, batched over a feature grid.
+
+Reference parity: cv::SparsePyrLKOpticalFlow as used by FrameTracker
+(reference Vision/FrameTracker.cpp:33-35,140-146): 11x11 window, 3 pyramid
+levels, 5 iterations, with per-feature tracked/lost status.
+
+TPU-native design: the reference reads keypoints back to host vectors and
+lets OpenCV iterate per feature on the GPU.  Here the whole solver is one
+fixed-shape tensor program vmapped over the feature axis:
+
+  * pyramids are built once per frame with stencil convs (ops/resample);
+  * per level, each feature bilinearly samples its WxW template window, the
+    Scharr gradient windows, and — inside a `fori_loop` of `iterations` —
+    the warped search window from the next frame;
+  * the 2x2 normal-equation solve is closed-form (no linalg calls);
+  * lost features are masked, never removed: the output has the same (N,)
+    shape as the input, so the whole thing jits into the per-frame step.
+
+Like OpenCV's implementation, gradients are computed on the *template* once
+per level and reused across iterations (Gauss-Newton with a frozen Jacobian).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from livevisionkit_tpu.config import OpticalFlowSettings
+from livevisionkit_tpu.ops import remap as remap_ops
+from livevisionkit_tpu.ops import resample
+
+
+class Pyramid(struct.PyTreeNode):
+    """Per-frame image pyramid + template gradients (tracking state)."""
+
+    levels: tuple[jax.Array, ...]  # (H/2^l, W/2^l) luma, level 0 first
+    grads: tuple[tuple[jax.Array, jax.Array], ...]  # (dx, dy) per level
+
+    @classmethod
+    def build(cls, gray: jax.Array, num_levels: int) -> "Pyramid":
+        levels = tuple(resample.build_pyramid(gray, num_levels))
+        grads = tuple(resample.scharr_gradients(im) for im in levels)
+        return cls(levels=levels, grads=grads)
+
+
+def _window_offsets(win: int) -> tuple[jax.Array, jax.Array]:
+    r = win // 2
+    dy = jax.lax.broadcasted_iota(jnp.float32, (win, win), 0) - r
+    dx = jax.lax.broadcasted_iota(jnp.float32, (win, win), 1) - r
+    return dy, dx
+
+
+def _sample_window(
+    img: jax.Array, center_xy: jax.Array, dy: jax.Array, dx: jax.Array
+) -> jax.Array:
+    """(win, win) bilinear window around a fractional center (x, y)."""
+    ys = center_xy[1] + dy
+    xs = center_xy[0] + dx
+    return remap_ops.bilinear_sample(img, ys, xs, fill=None)
+
+
+def _track_level(
+    prev_img: jax.Array,
+    prev_dx: jax.Array,
+    prev_dy: jax.Array,
+    next_img: jax.Array,
+    pts: jax.Array,  # (N, 2) positions at THIS level's scale
+    guess: jax.Array,  # (N, 2) incoming flow at this level's scale
+    settings: OpticalFlowSettings,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One pyramid level of LK for all features.
+
+    Returns (flow, good, min_eig): flow (N, 2) refined at this scale.
+    """
+    win = settings.window_size
+    area = win * win
+    wdy, wdx = _window_offsets(win)
+    h, w = prev_img.shape
+
+    def one_feature(pt, g0):
+        tmpl = _sample_window(prev_img, pt, wdy, wdx)
+        gx = _sample_window(prev_dx, pt, wdy, wdx)
+        gy = _sample_window(prev_dy, pt, wdy, wdx)
+        # Spatial gradient matrix (frozen across iterations, like OpenCV).
+        gxx = jnp.sum(gx * gx)
+        gxy = jnp.sum(gx * gy)
+        gyy = jnp.sum(gy * gy)
+        det = gxx * gyy - gxy * gxy
+        tr = gxx + gyy
+        min_eig = (tr - jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0))) / 2.0
+        good_g = (min_eig / area) >= settings.min_eigen_threshold
+        inv_det = jnp.where(det > 1e-12, 1.0 / det, 0.0)
+
+        def body(_, g):
+            warped = _sample_window(next_img, pt + g, wdy, wdx)
+            r = tmpl - warped
+            bx = jnp.sum(r * gx)
+            by = jnp.sum(r * gy)
+            du = (gyy * bx - gxy * by) * inv_det
+            dv = (gxx * by - gxy * bx) * inv_det
+            return g + jnp.stack([du, dv])
+
+        g = jax.lax.fori_loop(0, settings.iterations, body, g0)
+        target = pt + g
+        inside = (
+            (target[0] >= 0.0)
+            & (target[0] <= w - 1.0)
+            & (target[1] >= 0.0)
+            & (target[1] <= h - 1.0)
+        )
+        return g, good_g & inside, min_eig
+
+    return jax.vmap(one_feature)(pts, guess)
+
+
+def track(
+    prev: Pyramid,
+    nxt: Pyramid,
+    pts: jax.Array,  # (N, 2) (x, y) positions in the previous frame, level-0 scale
+    valid: jax.Array,  # (N,) input validity mask
+    settings: OpticalFlowSettings,
+    init_flow: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Track features from `prev` into `nxt`.
+
+    Returns (new_pts, tracked): new (N, 2) level-0 positions and the combined
+    status mask (input-valid & gradient-conditioned & in-bounds at every
+    level) — the fixed-shape equivalent of the reference's
+    `fast_filter(unmatched)` compaction (FrameTracker.cpp:149).
+    """
+    n_levels = len(prev.levels)
+    top = n_levels - 1
+    scale_top = 2.0**top
+    flow = (
+        jnp.zeros_like(pts)
+        if init_flow is None
+        else init_flow.astype(pts.dtype) / scale_top
+    )
+    tracked = valid
+    for lvl in range(top, -1, -1):
+        s = 2.0**lvl
+        dx, dy = prev.grads[lvl]
+        flow, good, _ = _track_level(
+            prev.levels[lvl], dx, dy, nxt.levels[lvl], pts / s, flow, settings
+        )
+        tracked = tracked & good
+        if lvl > 0:
+            flow = flow * 2.0
+    return pts + flow, tracked

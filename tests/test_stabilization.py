@@ -1,0 +1,116 @@
+"""End-to-end stabilizer test on a synthetic shaky clip with known path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import fixtures
+from livevisionkit_tpu.config import (
+    FeatureDetectorSettings,
+    FrameTrackerSettings,
+    PathSmootherSettings,
+    StabilizationFilterSettings,
+)
+from livevisionkit_tpu.data.frame import Frame, PixelFormat
+from livevisionkit_tpu.filters.base import FrameSpec
+from livevisionkit_tpu.filters.stabilization import StabilizationFilter
+
+
+def _settings(predictive=5):
+    return StabilizationFilterSettings(
+        tracker=FrameTrackerSettings(
+            detection_size=(96, 120),
+            detector=FeatureDetectorSettings(
+                grid_shape=(8, 10), fast_threshold_init=0.06
+            ),
+            min_motion_samples=15,
+        ),
+        smoother=PathSmootherSettings(predictive_samples=predictive),
+    )
+
+
+def _jitter(frames_np, valid=None):
+    """Mean frame-to-frame abs diff over the interior (stabilization metric)."""
+    sel = frames_np if valid is None else frames_np[valid]
+    d = np.abs(np.diff(sel[:, 24:-24, 30:-30], axis=0))
+    return d.mean()
+
+
+def test_stabilizer_reduces_jitter(rng):
+    base = fixtures.make_texture(320, 320, rng)
+    size = (120, 160)
+    n = 28
+    poses, _ = fixtures.shaky_path(n, rng, margin=80.0, drift_px=0.4, shake_px=2.5)
+    frames = jnp.stack([fixtures.render_frame(base, p, size) for p in poses])
+
+    filt = StabilizationFilter(settings=_settings())
+    spec = FrameSpec(height=size[0], width=size[1], channels=1, format=PixelFormat.GRAY)
+    state = filt.init(spec)
+
+    def step(state, x):
+        gray, ts = x
+        frame = Frame.create(gray[None], timestamp=ts, fmt=PixelFormat.GRAY)
+        state, out = filt.step(state, frame)
+        return state, (out.pixels[0], out.valid, out.timestamp)
+
+    ts = jnp.arange(n, dtype=jnp.float32) / 30.0
+    _, (out_px, out_valid, out_ts) = jax.jit(
+        lambda s, xs: jax.lax.scan(step, s, xs)
+    )(state, (frames, ts))
+
+    valid = np.asarray(out_valid)
+    # Delay = predictive_samples: first 5 outputs invalid, rest valid.
+    assert not valid[:5].any()
+    assert valid[5:].all()
+    # Output timestamps are the DELAYED frames' timestamps.
+    np.testing.assert_allclose(
+        np.asarray(out_ts)[5:], np.asarray(ts)[: n - 5], atol=1e-6
+    )
+
+    j_in = _jitter(np.asarray(frames))
+    j_out = _jitter(np.asarray(out_px), valid)
+    # Stabilization must substantially reduce frame-to-frame motion.
+    assert j_out < 0.6 * j_in, f"jitter in={j_in:.4f} out={j_out:.4f}"
+
+
+def test_disabled_filter_passthrough_with_delay(rng):
+    base = fixtures.make_texture(320, 320, rng)
+    size = (120, 160)
+    poses, _ = fixtures.shaky_path(10, rng, margin=80.0)
+    frames = [fixtures.render_frame(base, p, size) for p in poses]
+
+    filt = StabilizationFilter(settings=_settings(predictive=2), enabled=False)
+    spec = FrameSpec(height=size[0], width=size[1], channels=1, format=PixelFormat.GRAY)
+    state = filt.init(spec)
+    outs = []
+    for t, f in enumerate(frames):
+        state, out = filt.step(
+            state, Frame.create(f[None], timestamp=float(t), fmt=PixelFormat.GRAY)
+        )
+        outs.append(out)
+    # Frame t output == input frame t-2, pixel exact (no warp on bypass).
+    for t in range(2, 10):
+        assert bool(outs[t].valid)
+        np.testing.assert_allclose(
+            np.asarray(outs[t].pixels[0]), np.asarray(frames[t - 2]), atol=1e-6
+        )
+
+
+def test_trust_drops_on_scene_cut(rng):
+    base1 = fixtures.make_texture(320, 320, rng)
+    base2 = fixtures.make_texture(320, 320, rng)  # unrelated scene
+    size = (120, 160)
+    poses, _ = fixtures.shaky_path(16, rng, margin=80.0)
+    filt = StabilizationFilter(settings=_settings())
+    spec = FrameSpec(height=size[0], width=size[1], channels=1, format=PixelFormat.GRAY)
+    state = filt.init(spec)
+    trusts = []
+    for t, p in enumerate(poses):
+        f = fixtures.render_frame(base1 if t < 8 else base2, p, size)
+        state, _ = filt.step(
+            state, Frame.create(f[None], timestamp=float(t), fmt=PixelFormat.GRAY)
+        )
+        trusts.append(float(state.trust))
+    # Trust builds up, then collapses at the cut (frame 8).
+    assert trusts[7] > 0.2
+    assert trusts[8] < trusts[7]
