@@ -37,7 +37,11 @@ from livevisionkit_tpu.filters.base import (
     IdentityFilter,
     VideoFilter,
 )
+from livevisionkit_tpu.filters.deblocking import DeblockingFilter
+from livevisionkit_tpu.filters.lens_correction import LensCorrectionFilter
+from livevisionkit_tpu.filters.scaling import ScalingFilter
 from livevisionkit_tpu.filters.stabilization import StabilizationFilter
+from livevisionkit_tpu.vision.calibration import CameraParameters
 from livevisionkit_tpu.models.homography import Homography
 from livevisionkit_tpu.models.warp_field import WarpField
 
@@ -52,6 +56,10 @@ __all__ = [
     "CompositeFilter",
     "ConversionFilter",
     "StabilizationFilter",
+    "DeblockingFilter",
+    "ScalingFilter",
+    "LensCorrectionFilter",
+    "CameraParameters",
     "FeatureDetectorSettings",
     "OpticalFlowSettings",
     "MotionEstimationSettings",

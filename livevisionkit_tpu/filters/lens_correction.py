@@ -1,0 +1,40 @@
+"""LensCorrectionFilter: undistort frames from a calibration profile.
+
+Reference parity: the OBS LCFilter (reference Modules/OBS-Plugin/Sources/
+Enhancement/LCFilter.cpp): loads a calibration profile (:99-115), builds
+getOptimalNewCameraMatrix + initUndistortRectifyMap as a WarpField with a
+normalized view-region crop, cached until size/profile change (:133-171),
+and applies it through the standard warp path (:185-191).
+
+TPU-native: the rectification field is computed ONCE at init (host numpy,
+vision/calibration.py) and baked into the filter state as a small
+WarpField tensor; per frame it's the same warp machinery as stabilization.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from livevisionkit_tpu.data.frame import Frame
+from livevisionkit_tpu.filters.base import FrameSpec, VideoFilter
+from livevisionkit_tpu.models.warp_field import WarpField
+from livevisionkit_tpu.vision.calibration import CameraParameters, undistort_field
+
+
+@dataclass(frozen=True)
+class LensCorrectionFilter(VideoFilter):
+    parameters: CameraParameters
+    # alpha=0 crops to the valid region (LCFilter's view-region crop);
+    # alpha=1 keeps all source pixels (with curved borders visible).
+    alpha: float = 0.0
+    field_shape: tuple[int, int] = (33, 33)
+
+    def init(self, spec: FrameSpec) -> WarpField:
+        return undistort_field(
+            self.parameters, spec.size, self.field_shape, self.alpha
+        )
+
+    def step(self, state: Any, frame: Frame) -> tuple[Any, Frame]:
+        field: WarpField = state
+        return state, frame.with_pixels(field.apply(frame.pixels, fill=0.0))

@@ -1,0 +1,197 @@
+"""EASU: FidelityFX-SR 1.0 Edge-Adaptive Spatial Upsampling — dense XLA form.
+
+Reference parity: the fused OpenCL kernels in reference Functions/OpenCL/
+Sources/FSR.cl — the 12-tap edge-adaptive filter core `easu` (:93-322), the
+offset-map warp `easu_remap` (:362-403) with background fill + a
+nearest-neighbour ring just inside the border (:385-397), the inline
+projective variant `easu_remap_homography` (:407-452), and `easu_scale`
+(:324-358).  The reference evaluates one output pixel per work-item; here the
+whole surface evaluates as one fixed-shape tensor program (12 gathers + VPU
+math), which is also the oracle for the Pallas kernel (ops/pallas/).
+
+Math notes vs the reference: the bit-trick approximate rcp/rsqrt
+(APrxLoRcp/APrxLoRsq) are replaced by exact `lax.rsqrt`/division — on TPU the
+exact forms are just as cheap and slightly *more* accurate than the
+reference's approximations; tolerance tests bound the difference.
+
+Tap layout around the sample point (x right, y down), f = floor(sample):
+        b c
+      e f g h
+      i j k l
+        n o
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from livevisionkit_tpu.types import PixelFormat
+
+# (dx, dy) of the 12 taps relative to f, in reference tap order.
+_TAPS = {
+    "b": (0, -1), "c": (1, -1),
+    "e": (-1, 0), "f": (0, 0), "g": (1, 0), "h": (2, 0),
+    "i": (-1, 1), "j": (0, 1), "k": (1, 1), "l": (2, 1),
+    "n": (0, 2), "o": (1, 2),
+}
+
+
+def _luma(px: dict[str, jax.Array], fmt: PixelFormat) -> dict[str, jax.Array]:
+    """2x-luma per tap (FSR.cl:286-297): plane 0 for YUV/GRAY, else
+    0.5*ch0 + ch1 + 0.5*ch2."""
+    if fmt in (PixelFormat.YUV, PixelFormat.GRAY):
+        return {k: v[0] for k, v in px.items()}
+    return {k: 0.5 * v[0] + v[1] + 0.5 * v[2] for k, v in px.items()}
+
+
+def _accumulate(dirx, diry, length, wx, wy, la, lb, lc, ld, le):
+    """Direction/length accumulation for one bilinear corner
+    (easu_accumulate, FSR.cl:132-176). a=above, b=left, c=center, d=right,
+    e=below; (wx, wy) the corner's bilinear weight factors."""
+    w = wx * wy
+    dc = ld - lc
+    cb = lc - lb
+    len_x = 1.0 / jnp.maximum(jnp.maximum(jnp.abs(dc), jnp.abs(cb)), 1e-20)
+    dir_x = ld - lb
+    len_x = jnp.clip(jnp.abs(dir_x) * len_x, 0.0, 1.0) ** 2
+    ec = le - lc
+    ca = lc - la
+    len_y = 1.0 / jnp.maximum(jnp.maximum(jnp.abs(ec), jnp.abs(ca)), 1e-20)
+    dir_y = le - la
+    len_y = jnp.clip(jnp.abs(dir_y) * len_y, 0.0, 1.0) ** 2
+    return (
+        dirx + dir_x * w,
+        diry + dir_y * w,
+        length + (len_x + len_y) * w,
+    )
+
+
+def _easu_core(
+    px: dict[str, jax.Array], ppx: jax.Array, ppy: jax.Array, fmt: PixelFormat
+) -> jax.Array:
+    """The 12-tap EASU filter given gathered taps and sub-pixel position.
+
+    px: tap letter -> (C, ...) values; ppx/ppy: (...) fractional offsets.
+    Returns (C, ...) filtered pixels.
+    """
+    lum = _luma(px, fmt)
+    zero = jnp.zeros_like(ppx)
+    dirx, diry, length = zero, zero, zero
+    # Four bilinear corners f, g, j, k (FSR.cl:300-304).
+    dirx, diry, length = _accumulate(
+        dirx, diry, length, 1 - ppx, 1 - ppy,
+        lum["b"], lum["e"], lum["f"], lum["g"], lum["j"])
+    dirx, diry, length = _accumulate(
+        dirx, diry, length, ppx, 1 - ppy,
+        lum["c"], lum["f"], lum["g"], lum["h"], lum["k"])
+    dirx, diry, length = _accumulate(
+        dirx, diry, length, 1 - ppx, ppy,
+        lum["f"], lum["i"], lum["j"], lum["k"], lum["n"])
+    dirx, diry, length = _accumulate(
+        dirx, diry, length, ppx, ppy,
+        lum["g"], lum["j"], lum["k"], lum["l"], lum["o"])
+
+    # Normalize direction; degenerate -> horizontal (FSR.cl:306-312).
+    dir_r = dirx * dirx + diry * diry
+    zro = dir_r < (1.0 / 32768.0)
+    inv_r = lax.rsqrt(jnp.maximum(dir_r, 1e-30))
+    inv_r = jnp.where(zro, 1.0, inv_r)
+    dirx = jnp.where(zro, 1.0, dirx) * inv_r
+    diry = jnp.where(zro, 0.0, diry) * inv_r
+
+    # Shape the kernel (FSR.cl:314-330).
+    length = (length * 0.5) ** 2
+    stretch = (dirx * dirx + diry * diry) / jnp.maximum(
+        jnp.maximum(jnp.abs(dirx), jnp.abs(diry)), 1e-20
+    )
+    len2x = 1.0 + (stretch - 1.0) * length
+    len2y = 1.0 - 0.5 * length
+    lob = 0.5 + ((1.0 / 4.0 - 0.04) - 0.5) * length
+    clp = 1.0 / lob
+
+    # De-ringing window: min/max of the 4 nearest (f, g, j, k).
+    mi4 = jnp.minimum(jnp.minimum(px["f"], px["g"]), jnp.minimum(px["j"], px["k"]))
+    ma4 = jnp.maximum(jnp.maximum(px["f"], px["g"]), jnp.maximum(px["j"], px["k"]))
+
+    # 12 weighted taps (easu_tap, FSR.cl:100-127).
+    ac = jnp.zeros_like(px["f"])
+    aw = jnp.zeros_like(ppx)
+    for letter, (dx, dy) in _TAPS.items():
+        offx = dx - ppx
+        offy = dy - ppy
+        vx = (offx * dirx + offy * diry) * len2x
+        vy = (offx * -diry + offy * dirx) * len2y
+        d2 = jnp.minimum(vx * vx + vy * vy, clp)
+        wa = lob * d2 - 1.0
+        wb = (2.0 / 5.0) * d2 - 1.0
+        wa = wa * wa
+        wb = (25.0 / 16.0) * (wb * wb) - (25.0 / 16.0 - 1.0)
+        w = wb * wa
+        ac = ac + px[letter] * w
+        aw = aw + w
+
+    out = ac / jnp.where(jnp.abs(aw) > 1e-20, aw, 1e-20)
+    return jnp.clip(out, mi4, ma4)
+
+
+def easu_remap(
+    img: jax.Array,
+    sample_map: jax.Array,
+    fmt: PixelFormat = PixelFormat.YUV,
+    fill: jax.Array | float = 0.0,
+) -> jax.Array:
+    """Backward-warp (C, H, W) image through (2, H', W') absolute (y, x)
+    coordinates with EASU filtering (reference easu_remap, FSR.cl:362-403).
+
+    Border semantics match the reference (:385-397): sample centers whose
+    4x4 support would leave the image fall back to nearest-neighbour; fully
+    outside samples take the background `fill`.
+    """
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[None]
+    c, h, w = img.shape
+    ys, xs = sample_map[0], sample_map[1]
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    ppy = ys - y0
+    ppx = xs - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    px = {}
+    for letter, (dx, dy) in _TAPS.items():
+        yc = jnp.clip(y0i + dy, 0, h - 1)
+        xc = jnp.clip(x0i + dx, 0, w - 1)
+        px[letter] = img[:, yc, xc]
+
+    easu_val = _easu_core(px, ppx, ppy, fmt)
+
+    # Border handling (FSR.cl:385-397).
+    easu_ok = (x0i >= 1) & (y0i >= 1) & (x0i < w - 4) & (y0i < h - 4)
+    inside = (x0i >= 0) & (y0i >= 0) & (x0i < w) & (y0i < h)
+    nearest = px["f"]
+    fill_arr = jnp.asarray(fill, img.dtype)
+    if fill_arr.ndim == 1:
+        fill_arr = fill_arr.reshape((c,) + (1,) * ys.ndim)
+    out = jnp.where(easu_ok, easu_val, jnp.where(inside, nearest, fill_arr))
+    return out[0] if squeeze else out
+
+
+def easu_scale(
+    img: jax.Array, out_size: tuple[int, int], fmt: PixelFormat = PixelFormat.YUV
+) -> jax.Array:
+    """EASU upscale to `out_size` (reference easu_scale, FSR.cl:324-358):
+    sample positions follow the half-pixel convention
+    p = (u + 0.5) * (in/out) - 0.5."""
+    h, w = img.shape[-2:]
+    oh, ow = out_size
+    yy = (jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 0) + 0.5) * (h / oh) - 0.5
+    xx = (jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 1) + 0.5) * (w / ow) - 0.5
+    # Upscaling never leaves the source: clamp the half-pixel border
+    # positions inside so the edge uses the nearest path, not background.
+    yy = jnp.clip(yy, 0.0, h - 1.0)
+    xx = jnp.clip(xx, 0.0, w - 1.0)
+    return easu_remap(img, jnp.stack([yy, xx]), fmt=fmt)
