@@ -85,6 +85,19 @@ class MotionEstimationSettings:
 
 
 @dataclass(frozen=True)
+class MeshMotionSettings:
+    """Local (mesh) motion solve knobs (reference constraint construction:
+    generate_mesh_constraints, FrameTracker.cpp:380-457; LSCG solve
+    :274-276)."""
+
+    rigidity_weight: float = 1.0  # first-difference smoothness
+    temporal_weight: float = 0.05  # pull toward the warm-start mesh
+    cg_iterations: int = 24
+    irls_rounds: int = 2
+    inlier_threshold_px: float = 3.0
+
+
+@dataclass(frozen=True)
 class FrameTrackerSettings:
     """Inter-frame motion estimation (reference FrameTrackerSettings,
     FrameTracker.hpp:31-44)."""
@@ -104,6 +117,7 @@ class FrameTrackerSettings:
     motion: MotionEstimationSettings = dataclasses.field(
         default_factory=MotionEstimationSettings
     )
+    mesh: MeshMotionSettings = dataclasses.field(default_factory=MeshMotionSettings)
 
 
 @dataclass(frozen=True)

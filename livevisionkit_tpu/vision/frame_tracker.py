@@ -27,7 +27,7 @@ from livevisionkit_tpu.config import FrameTrackerSettings
 from livevisionkit_tpu.models.warp_field import WarpField
 from livevisionkit_tpu.ops import resample
 from livevisionkit_tpu.vision import features as features_mod
-from livevisionkit_tpu.vision import optical_flow, ransac
+from livevisionkit_tpu.vision import mesh_motion, optical_flow, ransac
 from livevisionkit_tpu.vision.features import FeatureGrid
 from livevisionkit_tpu.vision.optical_flow import Pyramid
 
@@ -104,9 +104,25 @@ def track(
         & (uniformity >= settings.min_uniformity)
         & (jnp.sum(tracked.astype(jnp.int32)) >= settings.min_motion_samples)
     )
-    motion = WarpField.from_homography(
-        est.homography, settings.motion_resolution, det_size
-    )
+    if tuple(settings.motion_resolution) == (2, 2):
+        # Global (homography) mode: the reference's 2x2-mesh path.
+        motion = WarpField.from_homography(
+            est.homography, settings.motion_resolution, det_size
+        )
+    else:
+        # Mesh mode (estimate_local_motions, FrameTracker.cpp:200-321):
+        # warm-start from the global fit, solve the local field on top.
+        warm = WarpField.from_homography(
+            est.homography, settings.motion_resolution, det_size
+        )
+        motion, _, _ = mesh_motion.estimate(
+            state.features.points,
+            new_pts,
+            tracked.astype(jnp.float32),
+            warm,
+            det_size,
+            settings.mesh,
+        )
     identity = WarpField.identity(settings.motion_resolution)
     motion = WarpField(
         offsets=jnp.where(ok, motion.offsets, identity.offsets)
