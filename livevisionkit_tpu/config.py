@@ -175,7 +175,8 @@ class DeblockingFilterSettings:
 
 @dataclass(frozen=True)
 class ScalingFilterSettings:
-    """FSR upscale + RCAS sharpen (reference ScalingFilter.hpp:26-31)."""
+    """FSR upscale + RCAS sharpen (reference ScalingFilter.hpp:26-31).
+    output_size=None keeps the input size (CAS-only sharpening)."""
 
-    output_size: tuple[int, int] = (1080, 1920)
+    output_size: tuple[int, int] | None = (1080, 1920)
     sharpness: float = 0.8

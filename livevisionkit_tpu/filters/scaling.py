@@ -25,13 +25,15 @@ class ScalingFilter(VideoFilter):
     def step(self, state: Any, frame: Frame) -> tuple[Any, Frame]:
         s = self.settings
         px = frame.pixels
-        if frame.size != tuple(s.output_size):
+        if s.output_size is not None and frame.size != tuple(s.output_size):
             px = easu.easu_scale(px, tuple(s.output_size), fmt=frame.format)
         if s.sharpness > 0.0:
             px = rcas.rcas(px, s.sharpness)
         return state, frame.with_pixels(px)
 
     def output_spec(self, spec: FrameSpec) -> FrameSpec:
+        if self.settings.output_size is None:
+            return spec
         return dataclasses.replace(
             spec, height=self.settings.output_size[0], width=self.settings.output_size[1]
         )

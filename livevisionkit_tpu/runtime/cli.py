@@ -1,0 +1,221 @@
+"""`lvk` command-line video editor.
+
+Reference parity: the VideoEditor CLI (reference Modules/VideoEditor/):
+grammar ``lvk [opts] input [output] [opts]`` (VideoIOConfiguration.cpp:
+200-221), options -h manual, -p profile-file expansion (:148-183), -f
+filter spec (:272-296), -r fps, -c fourcc, -s display, -u update period,
+-v verbose timings, -L CSV log (:299-405); filter registry `vs|stab`
+(.crop_prop/.crop_out/.smoothing) and `adb|deblocker` (.levels) (:410-448),
+extended here with the rest of the framework's filters (fsr, cas, lc,
+conv) which the reference exposes through OBS instead.
+
+Filter specs: ``-f NAME[.key=value]...`` e.g.
+    lvk -f vs.smoothing=15.crop_out=1 -f adb.levels=4 in.mp4 out.mp4
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv as csv_mod
+import json
+import sys
+import time
+
+from livevisionkit_tpu import (
+    CameraParameters,
+    CompositeFilter,
+    ConversionFilter,
+    DeblockingFilter,
+    DeblockingFilterSettings,
+    FrameTrackerSettings,
+    LensCorrectionFilter,
+    PathSmootherSettings,
+    PixelFormat,
+    ScalingFilter,
+    ScalingFilterSettings,
+    StabilizationFilter,
+    StabilizationFilterSettings,
+)
+
+
+def _parse_filter_spec(spec: str):
+    """NAME[.key=value]... -> (name, {key: value})."""
+    parts = spec.split(".")
+    name = parts[0].lower()
+    opts = {}
+    for p in parts[1:]:
+        if "=" in p:
+            k, v = p.split("=", 1)
+        else:
+            k, v = p, "1"
+        opts[k] = v
+    return name, opts
+
+
+def _build_filter(name: str, opts: dict[str, str]):
+    def fget(k, default):
+        return float(opts.get(k, default))
+
+    def iget(k, default):
+        return int(float(opts.get(k, default)))
+
+    if name in ("vs", "stab"):
+        smoothing = iget("smoothing", 10)
+        crop_prop = fget("crop_prop", 0.10)
+        settings = StabilizationFilterSettings(
+            tracker=FrameTrackerSettings(
+                motion_resolution=(iget("mesh", 2), iget("mesh", 2)),
+            ),
+            smoother=PathSmootherSettings(
+                predictive_samples=smoothing, corrective_limit=crop_prop
+            ),
+            crop_output=bool(iget("crop_out", 0)),
+        )
+        return StabilizationFilter(settings=settings)
+    if name in ("adb", "deblocker"):
+        return DeblockingFilter(
+            DeblockingFilterSettings(detection_levels=iget("levels", 3))
+        )
+    if name in ("fsr", "scale"):
+        size = opts.get("size", "1920x1080")
+        w, h = (int(v) for v in size.lower().split("x"))
+        return ScalingFilter(
+            ScalingFilterSettings(
+                output_size=(h, w), sharpness=fget("sharpness", 0.8)
+            )
+        )
+    if name in ("cas", "sharpen"):
+        return ScalingFilter(
+            ScalingFilterSettings(output_size=None, sharpness=fget("sharpness", 0.8))
+        )
+    if name == "lc":
+        profile = opts.get("profile")
+        if not profile:
+            raise SystemExit("lc filter requires .profile=<json file>")
+        with open(profile) as f:
+            params = CameraParameters.from_dict(json.load(f))
+        return LensCorrectionFilter(parameters=params, alpha=fget("alpha", 0.0))
+    if name in ("conv", "convert"):
+        return ConversionFilter(PixelFormat(opts.get("format", "yuv")))
+    raise SystemExit(f"unknown filter {name!r} (try: vs, adb, fsr, cas, lc, conv)")
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="lvk",
+        description="TPU-native real-time video stabilization & enhancement "
+        "(LiveVisionKit-TPU)",
+    )
+    p.add_argument("input", help="input video file or capture-device index")
+    p.add_argument("output", nargs="?", help="output video file")
+    p.add_argument(
+        "-f",
+        "--filter",
+        dest="filters",
+        action="append",
+        default=[],
+        metavar="SPEC",
+        help="append filter: NAME[.key=val]... (vs, adb, fsr, cas, lc, conv)",
+    )
+    p.add_argument("-p", "--profile", help="file with extra CLI args, one per line")
+    p.add_argument("-r", "--fps", type=float, help="override output frame rate")
+    p.add_argument("-c", "--codec", default="", help="fourcc for the encoder")
+    p.add_argument("-n", "--frames", type=int, help="process at most N frames")
+    p.add_argument(
+        "-v", "--verbose", action="store_true", help="print per-run timing stats"
+    )
+    p.add_argument("-L", "--log-csv", help="write frame timings to CSV")
+    p.add_argument(
+        "-u", "--update-period", type=float, default=0.5,
+        help="progress update period seconds",
+    )
+    return p
+
+
+def expand_profile(argv: list[str]) -> list[str]:
+    """-p FILE inserts the file's whitespace-separated args in place
+    (reference VideoIOConfiguration.cpp:148-183)."""
+    out = []
+    i = 0
+    while i < len(argv):
+        if argv[i] in ("-p", "--profile") and i + 1 < len(argv):
+            with open(argv[i + 1]) as f:
+                out.extend(f.read().split())
+            i += 2
+        else:
+            out.append(argv[i])
+            i += 1
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    from livevisionkit_tpu.runtime import video_io
+    from livevisionkit_tpu.runtime.stream import stream
+
+    argv = expand_profile(list(sys.argv[1:] if argv is None else argv))
+    args = make_parser().parse_args(argv)
+
+    filters = [_build_filter(*_parse_filter_spec(s)) for s in args.filters]
+    filt = CompositeFilter(filters=tuple(filters)) if filters else CompositeFilter(
+        filters=()
+    )
+
+    src = int(args.input) if args.input.isdigit() else args.input
+    reader = video_io.VideoReader(src)
+    fps = args.fps or reader.meta.fps
+    writer = video_io.VideoWriter(args.output, fps, args.codec) if args.output else None
+
+    total = reader.meta.frame_count
+    t_start = time.perf_counter()
+    last_update = [0.0]
+    written = [0]
+
+    def on_output(planar_bgr, ts):
+        if writer is not None:
+            writer.write(video_io.encode_bgr(planar_bgr))
+        written[0] += 1
+        now = time.perf_counter()
+        if now - last_update[0] > args.update_period:
+            last_update[0] = now
+            el = now - t_start
+            fps_now = written[0] / el if el > 0 else 0.0
+            msg = f"\r{written[0]} frames  {fps_now:6.1f} fps"
+            if total:
+                pct = 100.0 * written[0] / total
+                eta = (total - written[0]) / fps_now if fps_now > 0 else 0
+                msg += f"  {pct:5.1f}%  ETA {eta:6.1f}s"
+            print(msg, end="", file=sys.stderr, flush=True)
+
+    stats = stream(filt, reader, on_output=on_output, max_frames=args.frames)
+
+    elapsed = time.perf_counter() - t_start
+    print(file=sys.stderr)
+    print(
+        f"done: {stats.frames_in} in / {stats.frames_out} out, "
+        f"{elapsed:.2f}s ({stats.frames_out / elapsed if elapsed > 0 else 0:.1f} fps)",
+        file=sys.stderr,
+    )
+    if args.verbose:
+        ft = stats.frame_time
+        print(
+            f"frame time: {ft.average_ms():.2f} ms ± {ft.deviation_ms():.2f} ms "
+            f"(n={ft.count})",
+            file=sys.stderr,
+        )
+    if args.log_csv:
+        with open(args.log_csv, "w", newline="") as f:
+            wr = csv_mod.writer(f)
+            wr.writerow(["metric", "value"])
+            wr.writerow(["frames_in", stats.frames_in])
+            wr.writerow(["frames_out", stats.frames_out])
+            wr.writerow(["avg_frame_ms", f"{stats.frame_time.average_ms():.4f}"])
+            wr.writerow(["dev_frame_ms", f"{stats.frame_time.deviation_ms():.4f}"])
+            wr.writerow(["wall_s", f"{elapsed:.4f}"])
+    if writer is not None:
+        writer.close()
+    reader.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

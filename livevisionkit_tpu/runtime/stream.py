@@ -1,0 +1,166 @@
+"""Streaming pipeline: decode -> device step -> encode, fully overlapped.
+
+Reference parity: ``VideoFilter::stream`` (reference Filters/VideoFilter
+.cpp:62-209) — a 3-thread pipeline (reader / filter / output threads, two
+15-deep bounded queues with condvar backpressure, early-termination
+draining) — and the CLI driver ``VideoProcessor::run`` (reference
+Modules/VideoEditor/VideoProcessor.cpp:148-230).
+
+TPU-native design: the thread pipeline maps onto JAX's ASYNC DISPATCH.
+
+  * a reader thread keeps a bounded queue of decoded host frames
+    (the reference's 15-frame input queue);
+  * the main loop uploads (`device_put`), repacks on device (uint8 HWC ->
+    planar float, one tiny jitted op = FrameIngest's GPU half), and calls
+    the jitted step WITHOUT syncing — dispatch returns immediately and the
+    device pipelines ahead;
+  * completed outputs are drained with a small in-flight window (depth 3):
+    the `np.asarray` on an output from K steps ago blocks only if the
+    device is K frames behind, which is exactly condvar backpressure;
+  * a writer thread encodes drained frames (the reference's output thread).
+
+The per-frame state carry is donated, so the delay queue mutates in place.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from livevisionkit_tpu.data.frame import Frame
+from livevisionkit_tpu.filters.base import FrameSpec, VideoFilter
+from livevisionkit_tpu.types import PixelFormat
+from livevisionkit_tpu.utils.profiling import Stopwatch
+
+
+@dataclass
+class StreamStats:
+    frames_in: int = 0
+    frames_out: int = 0
+    frame_time: Stopwatch = field(default_factory=Stopwatch)
+
+    @property
+    def fps(self) -> float:
+        avg = self.frame_time.average()
+        return 1.0 / avg if avg > 0 else 0.0
+
+
+@jax.jit
+def _ingest(bgr_hwc_uint8: jax.Array) -> jax.Array:
+    """On-device repack: HWC uint8 BGR -> (3, H, W) float32 [0, 1]."""
+    x = bgr_hwc_uint8.astype(jnp.float32) * (1.0 / 255.0)
+    return x.transpose(2, 0, 1)
+
+
+def stream(
+    filt: VideoFilter,
+    reader,
+    on_output: Callable[[np.ndarray, float], None] | None = None,
+    work_format: PixelFormat = PixelFormat.YUV,
+    queue_depth: int = 15,
+    inflight: int = 3,
+    max_frames: int | None = None,
+    stop_event: threading.Event | None = None,
+) -> StreamStats:
+    """Run `filt` over `reader` (yields (bgr_hwc_uint8, timestamp)).
+
+    on_output receives (planar_float_bgr (3,H,W), timestamp) for every VALID
+    output frame, in order.  Conversion into/out of `work_format` happens on
+    device around the filter, mirroring the reference's YUV inter-filter
+    convention (Filters/VideoFilter.hpp:31).
+    """
+    stats = StreamStats()
+    stop_event = stop_event or threading.Event()
+
+    in_q: queue.Queue = queue.Queue(maxsize=queue_depth)
+
+    def read_loop():
+        n = 0
+        for frame, ts in reader:
+            if stop_event.is_set():
+                break
+            in_q.put((frame, ts))
+            n += 1
+            if max_frames is not None and n >= max_frames:
+                break
+        in_q.put(None)  # EOF
+
+    reader_thread = threading.Thread(target=read_loop, daemon=True)
+    reader_thread.start()
+
+    out_q: queue.Queue = queue.Queue(maxsize=queue_depth)
+    writer_exc: list[BaseException] = []
+
+    def write_loop():
+        while True:
+            item = out_q.get()
+            if item is None:
+                return
+            try:
+                if on_output is not None:
+                    on_output(*item)
+            except BaseException as e:  # surface encode errors to caller
+                writer_exc.append(e)
+                stop_event.set()
+                return
+
+    writer_thread = threading.Thread(target=write_loop, daemon=True)
+    writer_thread.start()
+
+    bgr = PixelFormat.BGR
+
+    def full_step(state, raw, ts):
+        frame = Frame.create(_ingest(raw), timestamp=ts, fmt=bgr)
+        frame = frame.reformat(work_format)
+        state, out = filt.step(state, frame)
+        out = out.reformat(bgr)
+        return state, (out.pixels, out.timestamp, out.valid)
+
+    step = jax.jit(full_step, donate_argnums=0)
+
+    state = None
+    pending: deque = deque()  # (pixels_dev, ts_dev, valid_dev)
+
+    def drain(block_all: bool):
+        while pending and (block_all or len(pending) > inflight):
+            px, ts, valid = pending.popleft()
+            if bool(valid):  # device sync happens here (backpressure)
+                out_np = np.asarray(px)
+                stats.frames_out += 1
+                out_q.put((out_np, float(ts)))
+
+    try:
+        while not stop_event.is_set():
+            item = in_q.get()
+            if item is None:
+                break
+            raw_np, ts = item
+            if state is None:
+                spec = FrameSpec(
+                    height=raw_np.shape[0],
+                    width=raw_np.shape[1],
+                    channels=work_format.channels,
+                    format=work_format,
+                )
+                state = filt.init(spec)
+            stats.frame_time.tick()
+            raw_dev = jax.device_put(jnp.asarray(raw_np))
+            state, out = step(state, raw_dev, jnp.float32(ts))
+            pending.append(out)
+            stats.frames_in += 1
+            drain(block_all=False)
+        drain(block_all=True)
+    finally:
+        stop_event.set()
+        out_q.put(None)
+        writer_thread.join(timeout=30)
+    if writer_exc:
+        raise writer_exc[0]
+    return stats

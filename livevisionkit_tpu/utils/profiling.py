@@ -1,0 +1,62 @@
+"""Frame timing instrumentation.
+
+Reference parity: ``lvk::Stopwatch`` (reference Timing/Stopwatch.cpp) — a
+ring-buffer of frame times with average/deviation, GPU-synced when
+profiling (`sync_gpu` = cv::ocl::finish(), Stopwatch.cpp:127-131) — wrapped
+around every VideoFilter::apply (Filters/VideoFilter.cpp:46-58).
+
+TPU equivalent of "sync to measure": `jax.block_until_ready` on the step
+output before stopping the clock.  In throughput mode the runtime does NOT
+sync per frame (async dispatch pipelines host and device); the stopwatch
+then measures wall-clock inter-frame latency instead, which is the honest
+streaming number.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from collections import deque
+
+
+class Stopwatch:
+    def __init__(self, history: int = 300):
+        self._times = deque(maxlen=history)
+        self._t0: float | None = None
+
+    def start(self):
+        self._t0 = time.perf_counter()
+
+    def stop(self) -> float:
+        assert self._t0 is not None, "stop() without start()"
+        dt = time.perf_counter() - self._t0
+        self._times.append(dt)
+        self._t0 = None
+        return dt
+
+    def tick(self):
+        """Lap timing: record interval since the previous tick."""
+        now = time.perf_counter()
+        if self._t0 is not None:
+            self._times.append(now - self._t0)
+        self._t0 = now
+
+    @property
+    def count(self) -> int:
+        return len(self._times)
+
+    def average(self) -> float:
+        return sum(self._times) / len(self._times) if self._times else 0.0
+
+    def deviation(self) -> float:
+        if len(self._times) < 2:
+            return 0.0
+        mean = self.average()
+        var = sum((t - mean) ** 2 for t in self._times) / (len(self._times) - 1)
+        return math.sqrt(var)
+
+    def average_ms(self) -> float:
+        return self.average() * 1000.0
+
+    def deviation_ms(self) -> float:
+        return self.deviation() * 1000.0

@@ -1,0 +1,113 @@
+import numpy as np
+import pytest
+
+import fixtures
+from livevisionkit_tpu.filters.base import CompositeFilter, IdentityFilter
+from livevisionkit_tpu.runtime.stream import stream
+
+
+def _clip_uint8(rng, n=16, size=(96, 128)):
+    base = fixtures.make_texture(320, 320, rng)
+    poses, _ = fixtures.shaky_path(n, rng, margin=80.0, shake_px=2.0)
+    frames = []
+    for p in poses:
+        g = np.asarray(fixtures.render_frame(base, p, size))
+        bgr = np.repeat((g * 255).astype(np.uint8)[:, :, None], 3, axis=2)
+        frames.append(bgr)
+    return frames
+
+
+def test_stream_identity_round_trip(rng):
+    frames = _clip_uint8(rng)
+    reader = ((f, t / 30.0) for t, f in enumerate(frames))
+    outs = []
+    stats = stream(
+        CompositeFilter(filters=(IdentityFilter(),)),
+        reader,
+        on_output=lambda px, ts: outs.append((px.copy(), ts)),
+    )
+    assert stats.frames_in == len(frames)
+    assert stats.frames_out == len(frames)
+    # Round trip: BGR->YUV->filter->BGR within 8-bit tolerance.
+    for (px, ts), src in zip(outs, frames):
+        got = (np.clip(px, 0, 1).transpose(1, 2, 0) * 255).astype(np.int32)
+        assert np.abs(got - src.astype(np.int32)).max() <= 2
+
+
+def test_stream_stabilizer_delay_and_order(rng):
+    from livevisionkit_tpu import (
+        FeatureDetectorSettings,
+        FrameTrackerSettings,
+        PathSmootherSettings,
+        StabilizationFilter,
+        StabilizationFilterSettings,
+    )
+
+    frames = _clip_uint8(rng)
+    filt = StabilizationFilter(
+        settings=StabilizationFilterSettings(
+            tracker=FrameTrackerSettings(
+                detection_size=(96, 120),
+                detector=FeatureDetectorSettings(
+                    grid_shape=(8, 10), fast_threshold_init=0.06
+                ),
+                min_motion_samples=15,
+            ),
+            smoother=PathSmootherSettings(predictive_samples=3),
+        )
+    )
+    reader = ((f, t / 30.0) for t, f in enumerate(frames))
+    outs = []
+    stats = stream(filt, reader, on_output=lambda px, ts: outs.append(ts))
+    assert stats.frames_in == len(frames)
+    # 3-frame delay: outputs are frames 0..n-4, timestamps ordered.
+    assert stats.frames_out == len(frames) - 3
+    np.testing.assert_allclose(outs, [t / 30.0 for t in range(len(frames) - 3)],
+                               atol=1e-6)
+
+
+def test_cli_end_to_end(rng, tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from livevisionkit_tpu.runtime import cli
+
+    frames = _clip_uint8(rng, n=14)
+    src = str(tmp_path / "in.avi")
+    w = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"MJPG"), 30, (128, 96))
+    assert w.isOpened()
+    for f in frames:
+        w.write(f)
+    w.release()
+
+    dst = str(tmp_path / "out.avi")
+    csv = str(tmp_path / "stats.csv")
+    rc = cli.main(
+        ["-f", "vs.smoothing=3", "-v", "-L", csv, src, dst, "-c", "MJPG"]
+    )
+    assert rc == 0
+    cap = cv2.VideoCapture(dst)
+    assert cap.isOpened()
+    n_out = 0
+    while True:
+        ok, _ = cap.read()
+        if not ok:
+            break
+        n_out += 1
+    assert n_out == 14 - 3  # stabilizer delay
+    stats = dict(
+        line.strip().split(",") for line in open(csv).read().splitlines()[1:]
+    )
+    assert int(stats["frames_out"]) == n_out
+
+
+def test_cli_filter_specs():
+    from livevisionkit_tpu.runtime import cli
+
+    name, opts = cli._parse_filter_spec("vs.smoothing=15.crop_out=1")
+    assert name == "vs" and opts == {"smoothing": "15", "crop_out": "1"}
+    f = cli._build_filter(name, opts)
+    assert f.settings.smoother.predictive_samples == 15
+    assert f.settings.crop_output is True
+    f2 = cli._build_filter("fsr", {"size": "640x360"})
+    assert f2.settings.output_size == (360, 640)
+    with pytest.raises(SystemExit):
+        cli._build_filter("nope", {})
