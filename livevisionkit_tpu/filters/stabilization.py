@@ -41,6 +41,10 @@ class StabilizerState(struct.PyTreeNode):
     frames: StreamBuffer  # delay queue of Frames (capacity N+1)
     scene_quality: jax.Array  # EMA of tracking stability (observability + QA)
     trust: jax.Array  # motion trust factor in [0, 1]
+    # Last-frame diagnostics (observability: the reference exposes these via
+    # tracking_stability()/test-mode HUD, VSFilter.cpp:368-383).
+    stability: jax.Array
+    uniformity: jax.Array
 
 
 @dataclass(frozen=True)
@@ -49,6 +53,10 @@ class StabilizationFilter(VideoFilter):
         default_factory=StabilizationFilterSettings
     )
     enabled: bool = True  # bypass path: maintain delay/crop only (:77-95)
+    # Test mode: draw tracked points, the motion field, and the stable
+    # region on outputs (reference test-mode draws, StabilizationFilter
+    # .cpp:163-188, VSFilter.cpp:368-383).
+    debug: bool = False
 
     # ------------------------------------------------------------------
 
@@ -65,6 +73,8 @@ class StabilizationFilter(VideoFilter):
             frames=StreamBuffer.create(template, s.smoother.predictive_samples + 1),
             scene_quality=jnp.asarray(0.0, jnp.float32),
             trust=jnp.asarray(0.0, jnp.float32),
+            stability=jnp.asarray(0.0, jnp.float32),
+            uniformity=jnp.asarray(0.0, jnp.float32),
         )
 
     @property
@@ -149,6 +159,9 @@ class StabilizationFilter(VideoFilter):
             out_pixels = warp.apply(delayed.pixels, fill=0.0)
         else:
             out_pixels = delayed.pixels
+
+        if self.debug and self.enabled:
+            out_pixels = self._draw_debug(out_pixels, delayed.format, result, warp)
         out = delayed.replace(
             pixels=out_pixels,
             valid=delayed.valid & queue_full & ready,
@@ -159,5 +172,27 @@ class StabilizationFilter(VideoFilter):
             frames=frames,
             scene_quality=scene_quality,
             trust=trust,
+            stability=result.stability if self.enabled else state.stability,
+            uniformity=result.uniformity if self.enabled else state.uniformity,
         )
         return new_state, out
+
+    def _draw_debug(self, pixels, fmt, result, warp):
+        """Test-mode overlays (reference StabilizationFilter.cpp:163-188)."""
+        from livevisionkit_tpu.ops import drawing
+
+        s = self.settings
+        _, h, w = pixels.shape
+        dh, dw = s.tracker.detection_size
+        pts = result.points * jnp.array([(w - 1) / (dw - 1), (h - 1) / (dh - 1)])
+        pixels = drawing.draw_crosses(
+            pixels, pts, result.points_valid, drawing.colour("green", fmt)
+        )
+        pixels = drawing.draw_motion_field(
+            pixels, result.motion.offsets, drawing.colour("magenta", fmt)
+        )
+        m = self.stable_region_margin()
+        pixels = drawing.draw_rect(
+            pixels, (m, m), (1 - m, 1 - m), drawing.colour("yellow", fmt)
+        )
+        return pixels

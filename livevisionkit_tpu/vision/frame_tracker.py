@@ -37,6 +37,8 @@ class TrackResult(struct.PyTreeNode):
     stability: jax.Array  # inlier ratio in [0, 1] (tracking_stability)
     uniformity: jax.Array  # spatial spread quality of tracked points
     ok: jax.Array  # bool: trustworthy estimate this frame
+    points: jax.Array  # (G, 2) tracked point positions (detection coords)
+    points_valid: jax.Array  # (G,) tracked mask (debug/test-mode overlays)
 
 
 class TrackerState(struct.PyTreeNode):
@@ -132,6 +134,8 @@ def track(
         stability=jnp.where(ok, est.stability, 0.0),
         uniformity=uniformity,
         ok=ok,
+        points=new_pts,
+        points_valid=tracked,
     )
 
     # Fresh detection on the current frame for the next call

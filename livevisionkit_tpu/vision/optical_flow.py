@@ -44,11 +44,24 @@ class Pyramid(struct.PyTreeNode):
         return cls(levels=levels, grads=grads)
 
 
-def _window_offsets(win: int) -> tuple[jax.Array, jax.Array]:
+def _window_offsets_flat(win: int) -> tuple[jax.Array, jax.Array, jax.Array, int]:
+    """Window tap offsets flattened and PADDED to a multiple of 128 lanes.
+
+    A (N, win, win) window tensor tiles terribly on TPU (the last dim pads
+    11 -> 128 lanes, the second-to-last 11 -> 16 sublanes: ~17x wasted
+    VMEM/bandwidth on every elementwise op).  Flattening the window into the
+    lane dimension (N, 128) keeps every op dense.  Returns (dy, dx, mask,
+    padded_len); padded taps sample the window centre and carry mask 0.
+    """
     r = win // 2
-    dy = jax.lax.broadcasted_iota(jnp.float32, (win, win), 0) - r
-    dx = jax.lax.broadcasted_iota(jnp.float32, (win, win), 1) - r
-    return dy, dx
+    n = win * win
+    padded = -(-n // 128) * 128
+    dy = jax.lax.broadcasted_iota(jnp.float32, (win, win), 0).reshape(-1) - r
+    dx = jax.lax.broadcasted_iota(jnp.float32, (win, win), 1).reshape(-1) - r
+    dy = jnp.pad(dy, (0, padded - n))
+    dx = jnp.pad(dx, (0, padded - n))
+    mask = jnp.pad(jnp.ones((n,), jnp.float32), (0, padded - n))
+    return dy, dx, mask, padded
 
 
 def _track_level(
@@ -71,19 +84,19 @@ def _track_level(
     """
     win = settings.window_size
     area = win * win
-    wdy, wdx = _window_offsets(win)  # (win, win)
+    wdy, wdx, mask, _ = _window_offsets_flat(win)  # (P,) each, P % 128 == 0
     h, w = prev_img.shape
 
-    ys = pts[:, 1, None, None] + wdy  # (N, win, win)
-    xs = pts[:, 0, None, None] + wdx
-    tmpl = remap_ops.bilinear_sample(prev_img, ys, xs, fill=None)
-    gx = remap_ops.bilinear_sample(prev_dx, ys, xs, fill=None)
-    gy = remap_ops.bilinear_sample(prev_dy, ys, xs, fill=None)
+    ys = pts[:, 1, None] + wdy  # (N, P)
+    xs = pts[:, 0, None] + wdx
+    tmpl = remap_ops.bilinear_sample(prev_img, ys, xs, fill=None) * mask
+    gx = remap_ops.bilinear_sample(prev_dx, ys, xs, fill=None) * mask
+    gy = remap_ops.bilinear_sample(prev_dy, ys, xs, fill=None) * mask
 
     # Spatial gradient matrix (frozen across iterations, like OpenCV).
-    gxx = jnp.sum(gx * gx, axis=(1, 2))  # (N,)
-    gxy = jnp.sum(gx * gy, axis=(1, 2))
-    gyy = jnp.sum(gy * gy, axis=(1, 2))
+    gxx = jnp.sum(gx * gx, axis=-1)  # (N,)
+    gxy = jnp.sum(gx * gy, axis=-1)
+    gyy = jnp.sum(gy * gy, axis=-1)
     det = gxx * gyy - gxy * gxy
     tr = gxx + gyy
     min_eig = (tr - jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0))) / 2.0
@@ -91,12 +104,12 @@ def _track_level(
     inv_det = jnp.where(det > 1e-12, 1.0 / det, 0.0)
 
     def body(_, g):
-        wys = ys + g[:, 1, None, None]
-        wxs = xs + g[:, 0, None, None]
+        wys = ys + g[:, 1, None]
+        wxs = xs + g[:, 0, None]
         warped = remap_ops.bilinear_sample(next_img, wys, wxs, fill=None)
-        r = tmpl - warped
-        bx = jnp.sum(r * gx, axis=(1, 2))
-        by = jnp.sum(r * gy, axis=(1, 2))
+        r = tmpl - warped * mask
+        bx = jnp.sum(r * gx, axis=-1)
+        by = jnp.sum(r * gy, axis=-1)
         du = (gyy * bx - gxy * by) * inv_det
         dv = (gxx * by - gxy * bx) * inv_det
         return g + jnp.stack([du, dv], axis=-1)
