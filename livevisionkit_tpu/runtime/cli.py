@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import csv as csv_mod
+import dataclasses
 import json
 import sys
 import time
@@ -60,18 +61,27 @@ def _build_filter(name: str, opts: dict[str, str]):
         return int(float(opts.get(k, default)))
 
     if name in ("vs", "stab"):
-        smoothing = iget("smoothing", 10)
-        crop_prop = fget("crop_prop", 0.10)
-        settings = StabilizationFilterSettings(
-            tracker=FrameTrackerSettings(
-                motion_resolution=(iget("mesh", 2), iget("mesh", 2)),
-            ),
-            smoother=PathSmootherSettings(
-                predictive_samples=smoothing, corrective_limit=crop_prop
-            ),
+        from livevisionkit_tpu.presets import stabilization_preset
+
+        model = opts.get("model", "field" if "mesh" in opts else "homography")
+        settings = stabilization_preset(
+            model=model,
+            qa=opts.get("qa", "default"),
+            smoothing=iget("smoothing", 10),
+            crop=fget("crop_prop", 0.10),
             crop_output=bool(iget("crop_out", 0)),
         )
-        return StabilizationFilter(settings=settings)
+        if "mesh" in opts:
+            n = iget("mesh", 16)
+            settings = dataclasses.replace(
+                settings,
+                tracker=dataclasses.replace(
+                    settings.tracker, motion_resolution=(n, n)
+                ),
+            )
+        return StabilizationFilter(
+            settings=settings, debug=bool(iget("debug", 0))
+        )
     if name in ("adb", "deblocker"):
         return DeblockingFilter(
             DeblockingFilterSettings(detection_levels=iget("levels", 3))

@@ -188,6 +188,51 @@ def initial_thresholds(settings: FeatureDetectorSettings) -> jax.Array:
     return jnp.full(settings.region_shape, settings.fast_threshold_init, jnp.float32)
 
 
+def rebin(
+    points: jax.Array,  # (G, 2) tracked positions (x, y)
+    scores: jax.Array,  # (G,) scores carried from their detection
+    valid: jax.Array,  # (G,) propagate mask (tracked inliers)
+    settings: FeatureDetectorSettings,
+    size: tuple[int, int],
+) -> FeatureGrid:
+    """Re-bin tracked features into their NEW suppression-grid cells.
+
+    The reference re-seeds tracked inliers into the detector with priority
+    over fresh detections (FeatureDetector::propagate, FeatureDetector
+    .cpp:182-205).  Tracked points move between cells, so the fixed-slot
+    grid must be rebuilt: each cell keeps its strongest propagated feature
+    (segment-max + winner scatter, fixed shapes throughout).
+    """
+    h, w = size
+    gr, gc = settings.grid_shape
+    ch, cw = h // gr, w // gc
+    g = gr * gc
+    cx = jnp.clip((points[:, 0] // cw).astype(jnp.int32), 0, gc - 1)
+    cy = jnp.clip((points[:, 1] // ch).astype(jnp.int32), 0, gr - 1)
+    cell = cy * gc + cx
+    # Strongest score per cell wins; ties broken by slot index.
+    keyed = jnp.where(valid, scores, -jnp.inf)
+    best = jax.ops.segment_max(keyed, cell, num_segments=g)
+    slot_ids = jnp.arange(points.shape[0])
+    is_best = valid & (keyed == best[cell])
+    # Deduplicate exact ties: lowest slot id among winners per cell.
+    winner_slot = jax.ops.segment_min(
+        jnp.where(is_best, slot_ids, jnp.iinfo(jnp.int32).max),
+        cell,
+        num_segments=g,
+    )
+    win = is_best & (slot_ids == winner_slot[cell])
+    safe_cell = jnp.where(win, cell, g)  # losers scatter out of range (drop)
+    out_points = jnp.zeros((g, 2), jnp.float32).at[safe_cell].set(
+        points, mode="drop"
+    )
+    out_scores = jnp.zeros((g,), jnp.float32).at[safe_cell].set(
+        scores, mode="drop"
+    )
+    out_valid = jnp.zeros((g,), jnp.bool_).at[safe_cell].set(True, mode="drop")
+    return FeatureGrid(points=out_points, scores=out_scores, valid=out_valid)
+
+
 def distribution_quality(
     points: jax.Array, valid: jax.Array, size: tuple[int, int], sectors: int = 4
 ) -> jax.Array:

@@ -138,9 +138,20 @@ def track(
         points_valid=tracked,
     )
 
-    # Fresh detection on the current frame for the next call
-    # (FrameTracker.cpp detect-after-track ordering).
-    feats, thresholds = features_mod.detect(det, state.thresholds, settings.detector)
+    # Detection on the current frame for the next call (FrameTracker.cpp
+    # detect-after-track ordering), with tracked inliers re-seeded into
+    # their new cells with priority (inlier propagation,
+    # FrameTracker.cpp:183-193, FeatureDetector.cpp:182-205).
+    propagated = features_mod.rebin(
+        new_pts,
+        state.features.scores,
+        tracked & est.inliers & ok,
+        settings.detector,
+        det_size,
+    )
+    feats, thresholds = features_mod.detect(
+        det, state.thresholds, settings.detector, prev_features=propagated
+    )
     new_state = TrackerState(
         pyramid=pyr,
         features=feats,

@@ -65,3 +65,41 @@ def test_distribution_quality():
     q_c = float(features.distribution_quality(pts_c, jnp.ones(64, bool), (64, 80)))
     assert q_u > 0.9
     assert q_c < 0.2
+
+
+def test_rebin_propagation(rng):
+    s = FeatureDetectorSettings(grid_shape=(4, 5))
+    size = (40, 50)
+    pts = np.array(
+        [[12.0, 8.0], [14.0, 9.0], [33.0, 22.0], [49.0, 39.0], [2.0, 2.0]],
+        np.float32,
+    )
+    scores = np.array([0.5, 0.9, 0.3, 0.4, 0.2], np.float32)
+    valid = np.array([True, True, True, True, False])
+    g = features.rebin(
+        jnp.asarray(pts), jnp.asarray(scores), jnp.asarray(valid), s, size
+    )
+    ok = np.asarray(g.valid)
+    assert ok.sum() == 3  # two points share cell (12,8)/(14,9); invalid dropped
+    # The shared cell kept the stronger feature (score 0.9 at (14, 9)).
+    got_pts = np.asarray(g.points)[ok]
+    assert any(np.allclose(p, [14.0, 9.0]) for p in got_pts)
+    assert not any(np.allclose(p, [12.0, 8.0]) for p in got_pts)
+    assert not any(np.allclose(p, [2.0, 2.0]) for p in got_pts)
+
+
+def test_detect_respects_propagated(rng):
+    s = FeatureDetectorSettings(grid_shape=(8, 10), fast_threshold_init=0.06)
+    tex = fixtures.make_texture(64, 80, rng)
+    prev = features.rebin(
+        jnp.asarray(np.array([[41.0, 33.0]], np.float32)),
+        jnp.asarray(np.array([99.0], np.float32)),
+        jnp.asarray(np.array([True])),
+        s,
+        (64, 80),
+    )
+    feats, _ = features.detect(tex, features.initial_thresholds(s), s, prev)
+    # The propagated feature keeps its exact position in its cell slot.
+    cell = (33 // 8) * 10 + (41 // 8)
+    np.testing.assert_allclose(np.asarray(feats.points[cell]), [41.0, 33.0])
+    assert bool(feats.valid[cell])
