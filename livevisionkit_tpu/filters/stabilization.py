@@ -45,6 +45,7 @@ class StabilizerState(struct.PyTreeNode):
     # tracking_stability()/test-mode HUD, VSFilter.cpp:368-383).
     stability: jax.Array
     uniformity: jax.Array
+    correction: WarpField  # warp applied to the last output (evaluation/HUD)
 
 
 @dataclass(frozen=True)
@@ -75,6 +76,7 @@ class StabilizationFilter(VideoFilter):
             trust=jnp.asarray(0.0, jnp.float32),
             stability=jnp.asarray(0.0, jnp.float32),
             uniformity=jnp.asarray(0.0, jnp.float32),
+            correction=WarpField.identity(s.tracker.motion_resolution),
         )
 
     @property
@@ -174,6 +176,7 @@ class StabilizationFilter(VideoFilter):
             trust=trust,
             stability=result.stability if self.enabled else state.stability,
             uniformity=result.uniformity if self.enabled else state.uniformity,
+            correction=correction,
         )
         return new_state, out
 
