@@ -134,8 +134,119 @@ def _kernel(
                 out_ref[c, :, :] += wa * cols + wb * cols1
 
 
+def _easu_kernel(
+    xmap_ref,
+    vmap_l_ref, vmap_c_ref, vmap_r_ref,
+    *refs,
+    th: int,
+    tw: int,
+    margin: int,
+    channels: int,
+    fmt,
+):
+    """EASU 12-tap variant: the two shift-select passes align the 4x4
+    integer tap neighbourhood (plus the fractional-offset map as an extra
+    plane), then the shared EASU math (ops/easu._easu_core) runs on the
+    aligned tap planes — the Pallas realization of the reference's fused
+    easu_remap (FSR.cl:362-452)."""
+    from livevisionkit_tpu.ops import easu as easu_ops
+
+    src_refs = refs[:9]
+    out_ref, s_s, v_s, r_s, t_s = refs[9:14]
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    m = margin
+
+    for bi in range(3):
+        for bj in range(3):
+            r = src_refs[bi * 3 + bj]
+            for c in range(channels):
+                s_s[c, bi * th : (bi + 1) * th, bj * tw : (bj + 1) * tw] = r[c]
+    v_s[:, 0:tw] = vmap_l_ref[...]
+    v_s[:, tw : 2 * tw] = vmap_c_ref[...]
+    v_s[:, 2 * tw : 3 * tw] = vmap_r_ref[...]
+
+    twe = tw + 2 * m + 4  # +1 left tap, +2 right taps, +1 lerp slack
+
+    # ---- vertical alignment: 4 row-tap planes + the fy plane --------------
+    ly = v_s[:, tw - m - 1 : tw + tw + m + 3]
+    row0 = (ty * th).astype(jnp.float32) - th
+    i_iota = lax.broadcasted_iota(jnp.int32, (th, twe), 0).astype(jnp.float32)
+    s_f = ly - row0 - i_iota
+    s_f = jnp.clip(s_f, float(th - m), float(th + m) - 1e-3)
+    s0 = jnp.floor(s_f)
+    fy = s_f - s0
+    s0i = s0.astype(jnp.int32)
+    s_lo = jnp.min(s0i)
+    s_hi = jnp.max(s0i)
+
+    # r_s layout: (4 row taps, C+1 planes, TH, TWE); plane C carries fy.
+    r_s[...] = jnp.zeros(r_s.shape, r_s.dtype)
+    for s in range(th - m, th + m + 1):
+        @pl.when((s >= s_lo) & (s <= s_hi))
+        def _(s=s):
+            mk = (s0i == s).astype(jnp.float32)
+            for rt, dr in enumerate((-1, 0, 1, 2)):
+                for c in range(channels):
+                    r_s[rt, c, :, 0:twe] += mk * s_s[
+                        c, s + dr : s + dr + th, tw - m - 1 : tw + tw + m + 3
+                    ]
+            r_s[0, channels, :, 0:twe] += mk * fy  # fy rides along row-tap 0
+
+    # ---- horizontal alignment: 4x4 tap planes + fx -------------------------
+    lx = xmap_ref[...]
+    # r_s column 0 is global col tx*TW - m - 1.
+    col0 = (tx * tw).astype(jnp.float32) - m - 1
+    j_iota = lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
+    t_f = lx - col0 - j_iota
+    t_f = jnp.clip(t_f, 1.0, float(2 * m + 1) - 1e-3)
+    t0 = jnp.floor(t_f)
+    fx = t_f - t0
+    t0i = t0.astype(jnp.int32)
+    t_lo = jnp.min(t0i)
+    t_hi = jnp.max(t0i)
+
+    # t_s layout: (16 taps, C, TH, TW) + fy aligned in the last slot.
+    t_s[...] = jnp.zeros(t_s.shape, t_s.dtype)
+    for s in range(1, 2 * m + 2):
+        @pl.when((s >= t_lo) & (s <= t_hi))
+        def _(s=s):
+            mk = (t0i == s).astype(jnp.float32)
+            for rt in range(4):
+                for ct, dc in enumerate((-1, 0, 1, 2)):
+                    for c in range(channels):
+                        t_s[rt * 4 + ct, c, :, :] += mk * r_s[
+                            rt, c, :, s + dc : s + dc + tw
+                        ]
+            t_s[16, 0, :, :] += mk * r_s[0, channels, :, s : s + tw]
+
+    # ---- EASU math on the aligned taps -------------------------------------
+    # Tap letters on the 4x4 grid (rows -1..2 of floor, cols -1..2):
+    #        .  b  c  .
+    #        e  f  g  h
+    #        i  j  k  l
+    #        .  n  o  .
+    grid_letters = {
+        (0, 1): "b", (0, 2): "c",
+        (1, 0): "e", (1, 1): "f", (1, 2): "g", (1, 3): "h",
+        (2, 0): "i", (2, 1): "j", (2, 2): "k", (2, 3): "l",
+        (3, 1): "n", (3, 2): "o",
+    }
+    px = {}
+    for (rt, ct), letter in grid_letters.items():
+        px[letter] = jnp.stack([t_s[rt * 4 + ct, c, :, :] for c in range(channels)])
+    ppy = t_s[16, 0, :, :]
+    ppx = fx
+    out = easu_ops._easu_core(px, ppx, ppy, fmt)
+    out_ref[...] = out
+
+
 @functools.partial(
-    jax.jit, static_argnames=("tile", "margin", "max_shift", "interpret", "fill_mode")
+    jax.jit,
+    static_argnames=(
+        "tile", "margin", "max_shift", "interpret", "fill_mode", "filter_mode",
+        "fmt",
+    ),
 )
 def pallas_remap(
     src: jax.Array,  # (C, H, W) or (H, W)
@@ -146,10 +257,13 @@ def pallas_remap(
     max_shift: int = 256,
     interpret: bool = False,
     fill_mode: bool = True,
+    filter_mode: str = "bilinear",  # or "easu" (FSR edge-adaptive sampling)
+    fmt=None,  # PixelFormat for EASU luma selection (default YUV)
 ) -> jax.Array:
-    """Backward-warp via the Pallas kernel.  Matches ops.remap.remap for
-    warps whose post-mean-shift displacement fits `margin` px
-    (stabilization/mesh/lens warps by construction)."""
+    """Backward-warp via the Pallas kernel.  Matches ops.remap.remap
+    (bilinear) / ops.easu.easu_remap (easu) for warps whose post-mean-shift
+    displacement fits `margin` px (stabilization/mesh/lens warps by
+    construction)."""
     squeeze = src.ndim == 2
     if squeeze:
         src = src[None]
@@ -203,9 +317,26 @@ def pallas_remap(
     vmap_g = jnp.pad(vmap_g, ((th, th), (tw, tw)), mode="edge")
     xmap_g = jnp.pad(xmap_g, ((th, th), (tw, tw)), mode="edge")
 
-    kernel = functools.partial(
-        _kernel, th=th, tw=tw, margin=margin, channels=c
-    )
+    if filter_mode == "easu":
+        from livevisionkit_tpu.types import PixelFormat
+
+        kernel = functools.partial(
+            _easu_kernel, th=th, tw=tw, margin=margin, channels=c,
+            fmt=fmt if fmt is not None else PixelFormat.YUV,
+        )
+        extra_scratch = [
+            pltpu.VMEM(
+                (4, c + 1, th, _round_up(tw + 2 * margin + 4, 128)), jnp.float32
+            ),
+            pltpu.VMEM((17, c, th, tw), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(
+            _kernel, th=th, tw=tw, margin=margin, channels=c
+        )
+        extra_scratch = [
+            pltpu.VMEM((c, th, _round_up(tw + 2 * margin, 128)), jnp.float32),
+        ]
     src_specs = [
         pl.BlockSpec(
             (c, th, tw),
@@ -241,7 +372,7 @@ def pallas_remap(
         scratch_shapes=[
             pltpu.VMEM((c, 3 * th, 3 * tw), jnp.float32),
             pltpu.VMEM((th, 3 * tw), jnp.float32),
-            pltpu.VMEM((c, th, _round_up(tw + 2 * margin, 128)), jnp.float32),
+            *extra_scratch,
         ],
         out_shape=jax.ShapeDtypeStruct((c, h2, w2), jnp.float32),
         interpret=interpret,
@@ -249,16 +380,25 @@ def pallas_remap(
 
     out = out[:, :h, :w]
     if fill_mode:
-        out = _apply_fill(out, sample_map, (h, w), fill, src.dtype)
+        out = _apply_fill(
+            out, sample_map, (h, w), fill, src.dtype,
+            floor_inside=(filter_mode == "easu"),
+        )
     return out[0] if squeeze else out
 
 
-def _apply_fill(out, sample_map, size, fill, dtype):
+def _apply_fill(out, sample_map, size, fill, dtype, floor_inside=False):
     if fill is None:
         return out
     h, w = size
     ys, xs = sample_map[0, :h, :w], sample_map[1, :h, :w]
-    inside = (ys >= 0) & (ys <= h - 1) & (xs >= 0) & (xs <= w - 1)
+    if floor_inside:
+        # EASU border semantics (FSR.cl:385-397): a sample is inside if its
+        # integer coordinate is, and takes the nearest pixel there.
+        yf, xf = jnp.floor(ys), jnp.floor(xs)
+        inside = (yf >= 0) & (yf <= h - 1) & (xf >= 0) & (xf <= w - 1)
+    else:
+        inside = (ys >= 0) & (ys <= h - 1) & (xs >= 0) & (xs <= w - 1)
     fill_arr = jnp.asarray(fill, dtype)
     if fill_arr.ndim == 1:
         fill_arr = fill_arr.reshape(-1, 1, 1)

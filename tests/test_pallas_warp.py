@@ -72,3 +72,49 @@ def test_3channel_and_fill(rng):
     ref = np.asarray(remap_ops.remap(src, smap, fill=0.25))
     err = np.abs(ref[:, 8:-8, 70:-8] - got[:, 8:-8, 70:-8])
     assert err.max() < 1e-3, err.max()
+
+
+def test_easu_mode_matches_easu_remap(rng):
+    from livevisionkit_tpu.ops import easu as easu_ops
+    from livevisionkit_tpu.types import PixelFormat
+
+    src = fixtures.make_texture(192, 320, rng)
+    h = Homography.from_similarity(
+        jnp.float32(1.0), jnp.float32(0.005), jnp.float32(20.0), jnp.float32(-10.0)
+    )
+    smap = h.sample_map((192, 320))
+    ref = np.asarray(
+        easu_ops.easu_remap(src, smap, fmt=PixelFormat.GRAY, fill=0.25)
+    )
+    got = np.asarray(
+        pwarp.pallas_remap(
+            src, smap, fill=0.25, interpret=True, tile=(64, 64), margin=16,
+            filter_mode="easu", fmt=PixelFormat.GRAY,
+        )
+    )
+    err = np.abs(ref - got)[32:-32, 32:-32]
+    # Near-integer sample positions can flip floor() under the separability
+    # correction's epsilon, selecting an adjacent (equally valid) EASU tap
+    # grid — bound the bulk tightly and the tail loosely.
+    assert np.quantile(err, 0.999) < 2e-2, np.quantile(err, 0.999)
+    assert err.mean() < 1e-3, err.mean()
+
+
+def test_easu_mode_3ch(rng):
+    from livevisionkit_tpu.ops import easu as easu_ops
+    from livevisionkit_tpu.types import PixelFormat
+
+    src = jnp.stack([fixtures.make_texture(128, 192, rng) for _ in range(3)])
+    h = Homography.from_similarity(
+        jnp.float32(1.01), jnp.float32(0.0), jnp.float32(3.0), jnp.float32(2.0)
+    )
+    smap = h.sample_map((128, 192))
+    ref = np.asarray(easu_ops.easu_remap(src, smap, fmt=PixelFormat.YUV, fill=0.0))
+    got = np.asarray(
+        pwarp.pallas_remap(
+            src, smap, fill=0.0, interpret=True, tile=(64, 64), margin=16,
+            filter_mode="easu", fmt=PixelFormat.YUV,
+        )
+    )
+    err = np.abs(ref - got)[:, 24:-24, 24:-24]
+    assert err.max() < 2e-2, err.max()
