@@ -53,13 +53,14 @@ def upload_i420(y: np.ndarray, u: np.ndarray, v: np.ndarray, ts=0.0) -> Frame:
 
 def upload_nv12(y: np.ndarray, uv: np.ndarray, ts=0.0) -> Frame:
     """Semi-planar 4:2:0: uv is (H/2, W/2, 2) interleaved (or (H/2, W))."""
+    from livevisionkit_tpu.runtime import native_host
+
     if uv.ndim == 2:
         uv = uv.reshape(uv.shape[0], uv.shape[1] // 2, 2)
     h, w = y.shape
+    u, v = native_host.split_nv12(uv)
     return Frame.create(
-        _merge_yuv(
-            jnp.asarray(y), jnp.asarray(uv[..., 0]), jnp.asarray(uv[..., 1]), (h, w)
-        ),
+        _merge_yuv(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), (h, w)),
         timestamp=ts,
         fmt=PixelFormat.YUV,
     )
@@ -67,11 +68,11 @@ def upload_nv12(y: np.ndarray, uv: np.ndarray, ts=0.0) -> Frame:
 
 def upload_yuy2(packed: np.ndarray, ts=0.0) -> Frame:
     """Packed 4:2:2 YUYV: (H, W, 2) uint8 [Y0 U Y1 V ...] or (H, 2W)."""
+    from livevisionkit_tpu.runtime import native_host
+
     if packed.ndim == 2:
         packed = packed.reshape(packed.shape[0], packed.shape[1] // 2, 2)
-    y = packed[:, :, 0]
-    u = packed[:, 0::2, 1]
-    v = packed[:, 1::2, 1]
+    y, u, v = native_host.unpack_yuy2(packed)
     h, w = y.shape
     return Frame.create(
         _merge_yuv(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), (h, w)),
@@ -82,11 +83,11 @@ def upload_yuy2(packed: np.ndarray, ts=0.0) -> Frame:
 
 def upload_uyvy(packed: np.ndarray, ts=0.0) -> Frame:
     """Packed 4:2:2 UYVY."""
+    from livevisionkit_tpu.runtime import native_host
+
     if packed.ndim == 2:
         packed = packed.reshape(packed.shape[0], packed.shape[1] // 2, 2)
-    y = packed[:, :, 1]
-    u = packed[:, 0::2, 0]
-    v = packed[:, 1::2, 0]
+    y, u, v = native_host.unpack_uyvy(packed)
     h, w = y.shape
     return Frame.create(
         _merge_yuv(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), (h, w)),

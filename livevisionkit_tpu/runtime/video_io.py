@@ -101,6 +101,8 @@ class VideoWriter:
 
 
 def encode_bgr(planar_float: np.ndarray) -> np.ndarray:
-    """(3, H, W) float [0,1] BGR planes -> HWC uint8 for the encoder."""
-    x = np.clip(planar_float, 0.0, 1.0)
-    return (x.transpose(1, 2, 0) * 255.0 + 0.5).astype(np.uint8)
+    """(3, H, W) float [0,1] BGR planes -> HWC uint8 for the encoder
+    (native C++ quantize+interleave when available)."""
+    from livevisionkit_tpu.runtime import native_host
+
+    return native_host.planar_f32_to_hwc_u8(np.asarray(planar_float))
