@@ -134,6 +134,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "-v", "--verbose", action="store_true", help="print per-run timing stats"
     )
+    p.add_argument(
+        "--profile-filters", action="store_true",
+        help="time each filter separately (syncs per filter; slower)",
+    )
     p.add_argument("-L", "--log-csv", help="write frame timings to CSV")
     p.add_argument(
         "-u", "--update-period", type=float, default=0.5,
@@ -196,7 +200,10 @@ def main(argv: list[str] | None = None) -> int:
                 msg += f"  {pct:5.1f}%  ETA {eta:6.1f}s"
             print(msg, end="", file=sys.stderr, flush=True)
 
-    stats = stream(filt, reader, on_output=on_output, max_frames=args.frames)
+    stats = stream(
+        filt, reader, on_output=on_output, max_frames=args.frames,
+        profile_filters=args.profile_filters,
+    )
 
     elapsed = time.perf_counter() - t_start
     print(file=sys.stderr)
@@ -212,6 +219,12 @@ def main(argv: list[str] | None = None) -> int:
             f"(n={ft.count})",
             file=sys.stderr,
         )
+        for name, watch in stats.filter_times.items():
+            print(
+                f"  {name}: {watch.average_ms():.2f} ms ± "
+                f"{watch.deviation_ms():.2f} ms",
+                file=sys.stderr,
+            )
     if args.log_csv:
         with open(args.log_csv, "w", newline="") as f:
             wr = csv_mod.writer(f)

@@ -45,6 +45,9 @@ class StreamStats:
     frames_in: int = 0
     frames_out: int = 0
     frame_time: Stopwatch = field(default_factory=Stopwatch)
+    # Per-filter GPU-synced timings, only in profile mode
+    # (reference VideoProcessor -v, VideoProcessor.cpp:291-356).
+    filter_times: dict = field(default_factory=dict)
 
     @property
     def fps(self) -> float:
@@ -68,6 +71,7 @@ def stream(
     inflight: int = 3,
     max_frames: int | None = None,
     stop_event: threading.Event | None = None,
+    profile_filters: bool = False,
 ) -> StreamStats:
     """Run `filt` over `reader` (yields (bgr_hwc_uint8, timestamp)).
 
@@ -116,6 +120,30 @@ def stream(
 
     bgr = PixelFormat.BGR
 
+    # Profile mode: one jit per chain element + a sync after each, so
+    # per-filter times are observable (the reference's sync-to-measure
+    # pattern, Stopwatch.cpp:127-131). Costs pipelining; default mode runs
+    # the whole chain as ONE fused program.
+    from livevisionkit_tpu.filters.base import CompositeFilter
+
+    sub_filters = (
+        list(filt.filters)
+        if profile_filters and isinstance(filt, CompositeFilter)
+        else None
+    )
+    if sub_filters is not None:
+        sub_steps = [jax.jit(f.step) for f in sub_filters]
+        sub_keys = [f"{i}:{f.name}" for i, f in enumerate(sub_filters)]
+        for k in sub_keys:
+            stats.filter_times[k] = Stopwatch()
+
+        def prep(raw, ts):
+            frame = Frame.create(_ingest(raw), timestamp=ts, fmt=bgr)
+            return frame.reformat(work_format)
+
+        prep_j = jax.jit(prep)
+        finish_j = jax.jit(lambda fr: fr.reformat(bgr))
+
     def full_step(state, raw, ts):
         frame = Frame.create(_ingest(raw), timestamp=ts, fmt=bgr)
         frame = frame.reformat(work_format)
@@ -152,7 +180,21 @@ def stream(
                 state = filt.init(spec)
             stats.frame_time.tick()
             raw_dev = jax.device_put(jnp.asarray(raw_np))
-            state, out = step(state, raw_dev, jnp.float32(ts))
+            if sub_filters is not None:
+                frame = prep_j(raw_dev, jnp.float32(ts))
+                new_states = []
+                for k, fstep, sub_state in zip(sub_keys, sub_steps, state):
+                    watch = stats.filter_times[k]
+                    watch.start()
+                    sub_state, frame = fstep(sub_state, frame)
+                    jax.block_until_ready(frame.pixels)
+                    watch.stop()
+                    new_states.append(sub_state)
+                state = tuple(new_states)
+                outf = finish_j(frame)
+                out = (outf.pixels, outf.timestamp, outf.valid)
+            else:
+                state, out = step(state, raw_dev, jnp.float32(ts))
             pending.append(out)
             stats.frames_in += 1
             drain(block_all=False)
