@@ -142,6 +142,10 @@ def test_remap_matches_opencv(rng):
                         fill=0.25)
     )
     # cv2.remap uses 5-bit fixed-point interpolation weights; bound loosely.
-    # Exclude the border band: cv2 blends BORDER_CONSTANT into
-    # partially-outside taps, we fill only fully-outside samples.
-    assert np.abs(ours - cv_out)[2:-2, 6:-6].max() < 0.02
+    # Compare only samples whose full bilinear support is inside the image:
+    # for partial-tap positions cv2 blends BORDER_CONSTANT into the missing
+    # taps while we fill — a border-semantics difference, not an error.
+    full_support = (my >= 0) & (my <= h - 2) & (mx >= 0) & (mx <= w - 2)
+    diff = np.abs(ours - cv_out)[full_support]
+    assert diff.max() < 0.02, diff.max()
+    assert full_support.mean() > 0.9  # the comparison actually covers the frame
