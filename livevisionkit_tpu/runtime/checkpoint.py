@@ -1,0 +1,61 @@
+"""Stream-state snapshot / resume.
+
+The reference persists only camera-calibration profiles and CLI profiles
+(SURVEY.md §5.4); stream state (delay queue, trajectory window, QA servos)
+is ephemeral and rebuilt by `restart()`.  For long-running production
+streams this module adds fault-tolerant snapshots as a genuine extension:
+any filter state pytree (arrays + static dataclass fields) round-trips
+through a single .npz file, so a crashed worker resumes mid-stream without
+re-warming the smoothing window.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def save_state(path: str, state: Any) -> None:
+    """Snapshot a filter-state pytree to an .npz file."""
+    leaves, treedef = jax.tree.flatten(state)
+    arrays = {}
+    for i, leaf in enumerate(leaves):
+        if isinstance(leaf, jax.Array) and jnp.issubdtype(leaf.dtype, jnp.bool_):
+            arrays[f"leaf_{i}"] = np.asarray(leaf)
+        elif hasattr(leaf, "dtype") and "key" in str(leaf.dtype):
+            # PRNG keys: store raw key data.
+            arrays[f"key_{i}"] = np.asarray(jax.random.key_data(leaf))
+        else:
+            arrays[f"leaf_{i}"] = np.asarray(leaf)
+    np.savez_compressed(path, n_leaves=np.int64(len(leaves)), **arrays)
+
+
+def load_state(path: str, template: Any) -> Any:
+    """Restore a snapshot into the structure of `template` (a freshly
+    init()-ed state for the SAME filter configuration)."""
+    data = np.load(path)
+    leaves_t, treedef = jax.tree.flatten(template)
+    n = int(data["n_leaves"])
+    if n != len(leaves_t):
+        raise ValueError(
+            f"snapshot has {n} leaves, filter state expects {len(leaves_t)} "
+            "(was the filter configuration changed?)"
+        )
+    leaves = []
+    for i, tmpl in enumerate(leaves_t):
+        if f"key_{i}" in data:
+            leaf = jax.random.wrap_key_data(jnp.asarray(data[f"key_{i}"]))
+        else:
+            arr = data[f"leaf_{i}"]
+            if arr.shape != tuple(jnp.shape(tmpl)):
+                raise ValueError(
+                    f"leaf {i}: snapshot shape {arr.shape} != state shape "
+                    f"{jnp.shape(tmpl)}"
+                )
+            leaf = jnp.asarray(arr)
+        leaves.append(leaf)
+    return jax.tree.unflatten(treedef, leaves)

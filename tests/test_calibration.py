@@ -132,3 +132,47 @@ def test_chessboard_detection():
     d, idx = cKDTree(gt).query(found)
     assert d.max() < 2.0, d.max()
     assert len(np.unique(idx)) == 54
+
+
+def test_calibrate_cli_end_to_end(rng, tmp_path):
+    """Full CCTool workflow: chessboard video -> profile JSON."""
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
+    from livevisionkit_tpu.runtime import calibrate_cli
+
+    src = str(tmp_path / "board.avi")
+    w = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"MJPG"), 30, (320, 240))
+    assert w.isOpened()
+    n = 30
+    for t in range(n):
+        # Varied in-plane rotation AND out-of-plane tilt (the perspective
+        # terms): Zhang calibration is degenerate without tilted views.
+        ang = 0.15 * np.sin(t / 4.0)
+        sc = 0.85 + 0.1 * np.cos(t / 5.0)
+        c, s = sc * np.cos(ang), sc * np.sin(ang)
+        px = 8e-4 * np.sin(t / 3.0)
+        py = 8e-4 * np.cos(t / 3.5)
+        pose = np.array(
+            [[c, -s, 30.0 + 6 * t], [s, c, 25.0 + 2.5 * t], [px, py, 1.0]]
+        )
+        img, _ = _render_board(pose, pattern=(7, 5), square=22)
+        w.write(np.repeat((img * 255).astype(np.uint8)[:, :, None], 3, 2))
+    w.release()
+
+    out = str(tmp_path / "profile.json")
+    rc = calibrate_cli.main(
+        [src, out, "--pattern", "7x5", "--captures", "5", "--every", "3"]
+    )
+    assert rc == 0
+    import json
+
+    prof = json.load(open(out))
+    assert set(prof) == {"fx", "fy", "cx", "cy", "k1", "k2", "p1", "p2", "k3"}
+    assert 50 < prof["fx"] < 5000 and 50 < prof["fy"] < 5000
+    # Profile loads into the lens-correction filter.
+    from livevisionkit_tpu import CameraParameters, LensCorrectionFilter
+
+    filt = LensCorrectionFilter(parameters=CameraParameters.from_dict(prof))
+    state = filt.init(FrameSpec(240, 320, 1, PixelFormat.GRAY))
+    assert state.offsets.shape[0] == 2

@@ -1,0 +1,75 @@
+"""Stream-state snapshot/resume round trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import fixtures
+from livevisionkit_tpu import (
+    FeatureDetectorSettings,
+    FrameTrackerSettings,
+    PathSmootherSettings,
+    PixelFormat,
+    StabilizationFilter,
+    StabilizationFilterSettings,
+)
+from livevisionkit_tpu.data.frame import Frame
+from livevisionkit_tpu.filters.base import FrameSpec
+from livevisionkit_tpu.runtime import checkpoint
+
+
+def test_snapshot_resume_identical(rng, tmp_path):
+    filt = StabilizationFilter(
+        settings=StabilizationFilterSettings(
+            tracker=FrameTrackerSettings(
+                detection_size=(96, 120),
+                detector=FeatureDetectorSettings(
+                    grid_shape=(8, 10), fast_threshold_init=0.06
+                ),
+                min_motion_samples=15,
+            ),
+            smoother=PathSmootherSettings(predictive_samples=3),
+        )
+    )
+    spec = FrameSpec(96, 128, 1, PixelFormat.GRAY)
+    base = fixtures.make_texture(280, 280, rng)
+    poses, _ = fixtures.shaky_path(16, rng, margin=70.0)
+    frames = [
+        Frame.create(
+            fixtures.render_frame(base, p, (96, 128))[None],
+            timestamp=t / 30.0,
+            fmt=PixelFormat.GRAY,
+        )
+        for t, p in enumerate(poses)
+    ]
+    step = jax.jit(filt.step)
+
+    state = filt.init(spec)
+    for f in frames[:8]:
+        state, _ = step(state, f)
+
+    path = str(tmp_path / "snap.npz")
+    checkpoint.save_state(path, state)
+    restored = checkpoint.load_state(path, filt.init(spec))
+
+    outs_a, outs_b = [], []
+    sa, sb = state, restored
+    for f in frames[8:]:
+        sa, oa = step(sa, f)
+        sb, ob = step(sb, f)
+        outs_a.append(np.asarray(oa.pixels))
+        outs_b.append(np.asarray(ob.pixels))
+    np.testing.assert_allclose(np.stack(outs_a), np.stack(outs_b), atol=1e-6)
+
+
+def test_snapshot_shape_mismatch_rejected(tmp_path):
+    filt = StabilizationFilter()
+    a = filt.init(FrameSpec(96, 128, 1, PixelFormat.GRAY))
+    path = str(tmp_path / "s.npz")
+    checkpoint.save_state(path, a)
+    b_template = filt.init(FrameSpec(128, 160, 1, PixelFormat.GRAY))
+    try:
+        checkpoint.load_state(path, b_template)
+        assert False, "should reject mismatched shapes"
+    except ValueError:
+        pass
