@@ -116,7 +116,9 @@ def make_parser() -> argparse.ArgumentParser:
         description="TPU-native real-time video stabilization & enhancement "
         "(LiveVisionKit-TPU)",
     )
-    p.add_argument("input", help="input video file or capture-device index")
+    p.add_argument(
+        "input", nargs="?", help="input video file or capture-device index"
+    )
     p.add_argument("output", nargs="?", help="output video file")
     p.add_argument(
         "-f",
@@ -139,6 +141,14 @@ def make_parser() -> argparse.ArgumentParser:
         help="time each filter separately (syncs per filter; slower)",
     )
     p.add_argument("-L", "--log-csv", help="write frame timings to CSV")
+    p.add_argument(
+        "-C", "--list-encoders", action="store_true",
+        help="list available encoders (fourcc) and exit",
+    )
+    p.add_argument(
+        "-s", "--show", action="store_true",
+        help="display output frames in a window (needs a GUI backend)",
+    )
     p.add_argument(
         "-u", "--update-period", type=float, default=0.5,
         help="progress update period seconds",
@@ -169,6 +179,13 @@ def main(argv: list[str] | None = None) -> int:
     argv = expand_profile(list(sys.argv[1:] if argv is None else argv))
     args = make_parser().parse_args(argv)
 
+    if args.list_encoders:
+        for fourcc, ok in video_io.list_encoders():
+            print(f"{fourcc:8s} {'available' if ok else 'unavailable'}")
+        return 0
+    if args.input is None:
+        make_parser().error("input is required (or use -C to list encoders)")
+
     filters = [_build_filter(*_parse_filter_spec(s)) for s in args.filters]
     filt = CompositeFilter(filters=tuple(filters)) if filters else CompositeFilter(
         filters=()
@@ -184,9 +201,36 @@ def main(argv: list[str] | None = None) -> int:
     last_update = [0.0]
     written = [0]
 
+    import os
+
+    show_ok = [args.show]
+    if args.show and not (os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")):
+        # cv2.imshow aborts the process (Qt) when no display server exists,
+        # so this must be gated up front rather than caught.
+        print("no display server; -s/--show disabled", file=sys.stderr)
+        show_ok[0] = False
+
     def on_output(planar_bgr, ts):
+        hwc = None
         if writer is not None:
-            writer.write(video_io.encode_bgr(planar_bgr))
+            hwc = video_io.encode_bgr(planar_bgr)
+            writer.write(hwc)
+        if show_ok[0]:
+            # Display window with escape-to-quit (reference
+            # VideoProcessor.cpp:184-202); degrades gracefully headless.
+            try:
+                import cv2
+
+                if hwc is None:
+                    hwc = video_io.encode_bgr(planar_bgr)
+                cv2.imshow("lvk", hwc)
+                if (cv2.waitKey(1) & 0xFF) == 27:
+                    raise KeyboardInterrupt
+            except KeyboardInterrupt:
+                raise
+            except Exception as e:
+                print(f"\ndisplay unavailable ({e}); continuing", file=sys.stderr)
+                show_ok[0] = False
         written[0] += 1
         now = time.perf_counter()
         if now - last_update[0] > args.update_period:

@@ -100,6 +100,43 @@ class VideoWriter:
             self._writer.release()
 
 
+def list_encoders() -> list[tuple[str, bool]]:
+    """Probe which fourcc encoders the host backend can open (reference
+    VideoIOConfiguration.cpp `-C` encoder listing).  Returns
+    [(fourcc, available)] for a candidate set of common codecs."""
+    if not _HAS_CV2:
+        return []
+    import tempfile
+
+    candidates = [
+        ("mp4v", ".mp4"), ("avc1", ".mp4"), ("H264", ".mp4"),
+        ("hev1", ".mp4"), ("MJPG", ".avi"), ("XVID", ".avi"),
+        ("FFV1", ".avi"), ("VP80", ".webm"), ("VP90", ".webm"),
+        ("png ", ".avi"), ("I420", ".avi"),
+    ]
+    out = []
+    prev_level = None
+    try:  # silence FFmpeg "codec not found" chatter during probing
+        prev_level = cv2.utils.logging.getLogLevel()
+        cv2.utils.logging.setLogLevel(cv2.utils.logging.LOG_LEVEL_SILENT)
+    except Exception:
+        pass
+    for fourcc, ext in candidates:
+        with tempfile.NamedTemporaryFile(suffix=ext) as f:
+            w = cv2.VideoWriter(
+                f.name, cv2.VideoWriter_fourcc(*fourcc), 30.0, (64, 64)
+            )
+            ok = w.isOpened()
+            w.release()
+        out.append((fourcc.strip(), ok))
+    if prev_level is not None:
+        try:
+            cv2.utils.logging.setLogLevel(prev_level)
+        except Exception:
+            pass
+    return out
+
+
 def encode_bgr(planar_float: np.ndarray) -> np.ndarray:
     """(3, H, W) float [0,1] BGR planes -> HWC uint8 for the encoder
     (native C++ quantize+interleave when available)."""

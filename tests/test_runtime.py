@@ -99,6 +99,15 @@ def test_cli_end_to_end(rng, tmp_path):
     assert int(stats["frames_out"]) == n_out
 
 
+def test_cli_list_encoders(capsys):
+    pytest.importorskip("cv2")
+    from livevisionkit_tpu.runtime import cli
+
+    assert cli.main(["-C"]) == 0
+    out = capsys.readouterr().out
+    assert "available" in out  # at least one encoder probes OK
+
+
 def test_cli_filter_specs():
     from livevisionkit_tpu.runtime import cli
 
