@@ -20,6 +20,8 @@ coordinate conventions defined here:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -69,6 +71,25 @@ def bilinear_sample(
     return out
 
 
+def _pallas_eligible(img: jax.Array, sample_map: jax.Array) -> bool:
+    """Route large same-size TPU warps through the Pallas kernel.
+
+    XLA lowers image gathers to ~10 ns/element on TPU (a 1080p 3-channel
+    bilinear warp costs ~70 ms); the shift-select Pallas kernel does the same
+    warp gather-free.  Trace-time static decision.  Override with
+    LVK_REMAP=xla|pallas.
+    """
+    force = os.environ.get("LVK_REMAP", "").lower()
+    if force == "xla":
+        return False
+    h, w = img.shape[-2], img.shape[-1]
+    if sample_map.shape[-2:] != (h, w):
+        return False  # resizing maps keep the generic gather path
+    if force == "pallas":
+        return True
+    return jax.default_backend() == "tpu" and h >= 256 and w >= 256
+
+
 def remap(
     img: jax.Array,
     sample_map: jax.Array,
@@ -79,7 +100,20 @@ def remap(
     sample_map: (2, H', W') with plane 0 = source y, plane 1 = source x.
     Equivalent of lvk::remap(offset_map) (Functions/Image.cpp:28-81) with
     bilinear filtering in place of EASU.
+
+    On TPU, frame-sized warps dispatch to the gather-free Pallas kernel
+    (ops/tpu_kernels/warp.py); the XLA gather path below is the oracle and
+    the CPU/small-image path.
     """
+    if _pallas_eligible(img, sample_map):
+        from livevisionkit_tpu.ops.tpu_kernels import warp as pwarp
+
+        # Forced-on CPU (LVK_REMAP=pallas) runs the kernel interpreted so the
+        # dispatch path itself is testable off-TPU.
+        interpret = jax.default_backend() != "tpu"
+        return pwarp.pallas_remap(
+            img, sample_map, fill=fill, interpret=interpret
+        ).astype(img.dtype)
     return bilinear_sample(img, sample_map[0], sample_map[1], fill=fill)
 
 

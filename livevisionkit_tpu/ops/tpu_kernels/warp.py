@@ -24,6 +24,14 @@ predication are fine):
      by -dY/dx * dx outside the kernel, cancelling the cross term.  The
      residual is O(curvature * margin^2): zero inside mesh cells
      (piecewise-bilinear fields), <0.05 px for perspective warps.
+     Sample COORDINATES are therefore exact (measured <5e-4 px at 1080p for
+     similarity warps); what differs from joint bilinear is the
+     interpolation FOOTPRINT — where the map rotates/shears, the two-pass
+     kernel's 2x2 footprint shears with it by dY/dx (the two columns of the
+     horizontal lerp carry vertical samples offset by one column's worth of
+     dY).  On band-limited (real video) content this is indistinguishable
+     from bilinear; it only shows on white-noise test images, as a
+     value-domain difference O(dY/dx * local gradient).
 
 The `margin` must cover the residual (post-mean-shift) displacement:
 rotation/zoom reach at the frame corners plus mesh deformation.  Default 32

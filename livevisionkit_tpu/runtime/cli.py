@@ -150,6 +150,10 @@ def make_parser() -> argparse.ArgumentParser:
         help="display output frames in a window (needs a GUI backend)",
     )
     p.add_argument(
+        "-S", "--show-fps", type=float, metavar="FPS",
+        help="display output frames rate-locked to FPS",
+    )
+    p.add_argument(
         "-u", "--update-period", type=float, default=0.5,
         help="progress update period seconds",
     )
@@ -203,7 +207,12 @@ def main(argv: list[str] | None = None) -> int:
 
     import os
 
+    from livevisionkit_tpu.utils.profiling import TickTimer
+
+    if args.show_fps:
+        args.show = True
     show_ok = [args.show]
+    show_timer = TickTimer()
     if args.show and not (os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")):
         # cv2.imshow aborts the process (Qt) when no display server exists,
         # so this must be gated up front rather than caught.
@@ -215,9 +224,11 @@ def main(argv: list[str] | None = None) -> int:
         if writer is not None:
             hwc = video_io.encode_bgr(planar_bgr)
             writer.write(hwc)
-        if show_ok[0]:
+        if show_ok[0] and (
+            not args.show_fps or show_timer.tick(1.0 / args.show_fps)
+        ):
             # Display window with escape-to-quit (reference
-            # VideoProcessor.cpp:184-202); degrades gracefully headless.
+            # VideoProcessor.cpp:184-211); -S rate-locks via TickTimer.
             try:
                 import cv2
 

@@ -60,3 +60,38 @@ class Stopwatch:
 
     def deviation_ms(self) -> float:
         return self.deviation() * 1000.0
+
+
+class TickTimer:
+    """Delta/tick-count timer with an optional fixed timestep.
+
+    Reference parity: ``lvk::TickTimer`` (reference Timing/TickTimer.hpp:
+    24-43) — `tick()` reports elapsed time since the last tick; the
+    fixed-timestep overload `tick(timestep)` returns True only once the
+    timestep has elapsed (used for fps-locked display rendering,
+    VideoProcessor.cpp:205-211).
+    """
+
+    def __init__(self):
+        self._last: float | None = None
+        self._acc = 0.0
+        self.tick_count = 0
+
+    def tick(self, timestep: float | None = None) -> bool | float:
+        now = time.perf_counter()
+        delta = 0.0 if self._last is None else now - self._last
+        self._last = now
+        if timestep is None:
+            self.tick_count += 1
+            return delta
+        self._acc += delta
+        if self._acc >= timestep:
+            self._acc = math.fmod(self._acc, timestep) if timestep > 0 else 0.0
+            self.tick_count += 1
+            return True
+        return False
+
+    def reset(self):
+        self._last = None
+        self._acc = 0.0
+        self.tick_count = 0

@@ -74,6 +74,21 @@ def test_3channel_and_fill(rng):
     assert err.max() < 1e-3, err.max()
 
 
+def test_remap_dispatch_override(rng, monkeypatch):
+    """LVK_REMAP=pallas routes ops.remap.remap through the Pallas kernel
+    (interpreted off-TPU); =xla keeps the gather path."""
+    src = fixtures.make_texture(288, 320, rng)  # >=256 so size gate passes
+    h = Homography.from_similarity(
+        jnp.float32(1.0), jnp.float32(0.0), jnp.float32(5.5), jnp.float32(-2.5)
+    )
+    smap = h.sample_map((288, 320))
+    ref = remap_ops.remap(src, smap, fill=0.25)  # cpu default: gather
+    monkeypatch.setenv("LVK_REMAP", "pallas")
+    got = remap_ops.remap(src, smap, fill=0.25)
+    err = np.abs(np.asarray(ref) - np.asarray(got))[16:-16, 16:-16]
+    assert err.max() < 1e-3, err.max()
+
+
 def test_easu_mode_matches_easu_remap(rng):
     from livevisionkit_tpu.ops import easu as easu_ops
     from livevisionkit_tpu.types import PixelFormat
