@@ -20,6 +20,53 @@ from flax import struct
 from livevisionkit_tpu.ops import remap as remap_ops
 
 
+def dlt4(src: jax.Array, dst: jax.Array) -> jax.Array:
+    """Batched exact 4-point DLT: (..., 4, 2) x2 -> (..., 3, 3).
+
+    TPU-native solver: LAPACK-style `linalg.solve` on tiny 8x8 systems is
+    the slowest op a TPU can run (sequential pivoted LU); instead the 8x8
+    system is eliminated by an UNROLLED partially-pivoted Gauss-Jordan — 8
+    static steps of elementwise/broadcast math (pivot selection is a masked
+    argmax + row permutation) that vectorize over any batch.  Points are
+    pre-scaled to O(1) for conditioning; degenerate quads produce non-finite
+    matrices exactly like the LU path (callers mask them; RANSAC scores
+    them -inf).
+    """
+    batch = src.shape[:-2]
+    c = 1.0 / 256.0  # fixed conditioning scale (detection-res coords)
+    ps = src * c
+    qs = dst * c
+    x, y = ps[..., 0], ps[..., 1]  # (..., 4)
+    u, v = qs[..., 0], qs[..., 1]
+    z = jnp.zeros_like(x)
+    o = jnp.ones_like(x)
+    ru = jnp.stack([x, y, o, z, z, z, -u * x, -u * y, u], axis=-1)
+    rv = jnp.stack([z, z, z, x, y, o, -v * x, -v * y, v], axis=-1)
+    aug = jnp.concatenate([ru, rv], axis=-2)  # (..., 8, 9) augmented [A | b]
+    idx8 = jnp.arange(8)
+    for k in range(8):
+        # Partial pivot: pick the largest |column k| entry among rows >= k
+        # and swap it up (batched row permutation).
+        col = jnp.abs(aug[..., :, k])
+        col = jnp.where(idx8 >= k, col, -jnp.inf)
+        r = jnp.argmax(col, axis=-1)[..., None]  # (..., 1)
+        perm = jnp.where(idx8 == k, r, jnp.where(idx8 == r, k, idx8))
+        aug = jnp.take_along_axis(aug, perm[..., None], axis=-2)
+        piv = aug[..., k, k][..., None]  # (..., 1)
+        inv = jnp.where(jnp.abs(piv) > 1e-12, 1.0 / piv, jnp.nan)
+        row = aug[..., k, :] * inv  # (..., 9) normalized pivot row
+        fac = aug[..., :, k][..., None]  # (..., 8, 1)
+        aug = aug - fac * row[..., None, :]
+        aug = aug.at[..., k, :].set(row)
+    h8 = aug[..., 8]  # (..., 8)
+    m = jnp.concatenate([h8, jnp.ones(batch + (1,), h8.dtype)], axis=-1)
+    m = m.reshape(batch + (3, 3))
+    # Undo the conditioning scale: H = S^-1 Hn S, S = diag(c, c, 1).
+    scale_t = jnp.asarray([[1.0, 1.0, 1.0 / c], [1.0, 1.0, 1.0 / c], [c, c, 1.0]],
+                          m.dtype)
+    return m * scale_t
+
+
 class Homography(struct.PyTreeNode):
     m: jax.Array  # (3, 3) float32
 
@@ -64,17 +111,7 @@ class Homography(struct.PyTreeNode):
         RANSAC minimal solver).  Degenerate configurations yield a non-finite
         matrix which callers must mask out (RANSAC scores them to -inf).
         """
-        x, y = src[:, 0], src[:, 1]
-        u, v = dst[:, 0], dst[:, 1]
-        zeros = jnp.zeros_like(x)
-        ones = jnp.ones_like(x)
-        rows_u = jnp.stack([x, y, ones, zeros, zeros, zeros, -u * x, -u * y], axis=-1)
-        rows_v = jnp.stack([zeros, zeros, zeros, x, y, ones, -v * x, -v * y], axis=-1)
-        a = jnp.concatenate([rows_u, rows_v], axis=0)  # (8, 8)
-        b = jnp.concatenate([u, v], axis=0)  # (8,)
-        h8 = jnp.linalg.solve(a, b)
-        m = jnp.concatenate([h8, jnp.ones((1,), h8.dtype)]).reshape(3, 3)
-        return cls(m=m)
+        return cls(m=dlt4(src, dst))
 
     # ---- algebra -----------------------------------------------------------
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from livevisionkit_tpu.config import MotionEstimationSettings
-from livevisionkit_tpu.models.homography import Homography
+from livevisionkit_tpu.models.homography import Homography, dlt4
 
 
 class GlobalMotion(struct.PyTreeNode):
@@ -186,7 +186,7 @@ def estimate(
     q4 = dst[idx]
 
     # --- homography hypotheses -------------------------------------------
-    h_hyp = jax.vmap(lambda p, q: Homography.from_quad(p, q).m)(p4, q4)
+    h_hyp = dlt4(p4, q4)  # batched unrolled Gauss-Jordan (see homography.py)
     finite_h = jnp.all(jnp.isfinite(h_hyp), axis=(-2, -1))
     err_h = _transfer_errors_sq(h_hyp, src, dst)  # (K, N)
     score_h = jnp.where(finite_h, _magsac_score(err_h, vf, tau), -jnp.inf)
