@@ -183,6 +183,25 @@ def main(argv: list[str] | None = None) -> int:
     argv = expand_profile(list(sys.argv[1:] if argv is None else argv))
     args = make_parser().parse_args(argv)
 
+    # SIGINT -> graceful stop: drain in-flight frames and finalize the output
+    # file instead of dying mid-write (reference Application.cpp:45-52).
+    import os
+    import signal
+    import threading
+
+    stop_event = threading.Event()
+    try:
+        signal.signal(signal.SIGINT, lambda *_: stop_event.set())
+    except ValueError:
+        pass  # not on the main thread (embedded use)
+    # Processing priority boost, best effort (reference Application.cpp:67-72
+    # uses nice(-40)/HIGH_PRIORITY_CLASS); unprivileged processes can't raise
+    # priority, so failure is expected and silent.
+    try:
+        os.nice(-5)
+    except (OSError, AttributeError):
+        pass
+
     if args.list_encoders:
         for fourcc, ok in video_io.list_encoders():
             print(f"{fourcc:8s} {'available' if ok else 'unavailable'}")
@@ -204,8 +223,6 @@ def main(argv: list[str] | None = None) -> int:
     t_start = time.perf_counter()
     last_update = [0.0]
     written = [0]
-
-    import os
 
     from livevisionkit_tpu.utils.profiling import TickTimer
 
@@ -257,7 +274,7 @@ def main(argv: list[str] | None = None) -> int:
 
     stats = stream(
         filt, reader, on_output=on_output, max_frames=args.frames,
-        profile_filters=args.profile_filters,
+        profile_filters=args.profile_filters, stop_event=stop_event,
     )
 
     elapsed = time.perf_counter() - t_start

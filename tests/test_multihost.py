@@ -1,0 +1,69 @@
+"""Multi-host SPMD layer tests (single-process degenerate on the CPU mesh).
+
+Real multi-host needs N processes + DCN; what is testable here is everything
+but the transport: host-major mesh layout, local-stream assignment,
+process-local global-array assembly, the full sharded step, and local output
+extraction (shard reassembly across W tiles).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from livevisionkit_tpu import FrameSpec, PixelFormat
+from livevisionkit_tpu.data.frame import Frame
+from livevisionkit_tpu.parallel import multihost
+from test_parallel import _clips, _filter
+
+
+def test_initialize_single_process_noop(monkeypatch):
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    multihost.initialize()  # must not raise or try to connect
+    multihost.initialize(coordinator_address="localhost:1234", num_processes=1)
+
+
+def test_local_stream_assignment():
+    mesh = multihost.make_global_mesh(4, 2)
+    # Single process owns every device -> every stream is local.
+    assert multihost.local_stream_indices(mesh) == [0, 1, 2, 3]
+    assert mesh.devices.shape == (4, 2)
+
+
+def test_global_frames_roundtrip(rng):
+    n_streams, n_tiles = 4, 2
+    mesh = multihost.make_global_mesh(n_streams, n_tiles)
+    clips = _clips(rng, n_streams, 1)  # (S, 1, H, W)
+    local = jax.vmap(
+        lambda p: Frame.create(p[None], timestamp=0.0, fmt=PixelFormat.GRAY)
+    )(jnp.asarray(clips[:, 0]))
+    gframes = multihost.global_frames_from_local(mesh, local)
+    assert gframes.pixels.shape == (n_streams, 1, 96, 128)
+    np.testing.assert_allclose(
+        np.asarray(gframes.pixels), np.asarray(local.pixels)
+    )
+    # Frame leaves sharded over ("stream", ..., "tile").
+    assert "tile" in str(gframes.pixels.sharding.spec)
+
+
+def test_multihost_step_and_fetch(rng):
+    n_streams, n_tiles = 4, 2
+    mesh = multihost.make_global_mesh(n_streams, n_tiles)
+    mh = multihost.MultiHostStreamFilter(_filter(), mesh)
+    assert mh.local_streams() == [0, 1, 2, 3]
+
+    spec = FrameSpec(96, 128, 1, PixelFormat.GRAY)
+    states = mh.init(spec)
+    clips = _clips(rng, n_streams, 6)
+    step = mh.jit_step()
+    for t in range(6):
+        local = jax.vmap(
+            lambda p, tt=t: Frame.create(
+                p[None], timestamp=tt / 30.0, fmt=PixelFormat.GRAY
+            )
+        )(jnp.asarray(clips[:, t]))
+        states, out = step(states, mh.put_frames(local))
+    outs = mh.fetch(out)
+    assert len(outs) == n_streams
+    assert outs[0].shape == (1, 96, 128)
+    # Reassembled local outputs must equal the global array content.
+    np.testing.assert_allclose(np.stack(outs), np.asarray(out.pixels), atol=0)
