@@ -9,7 +9,11 @@ Usage: python tools/profile_stages.py
 
 from __future__ import annotations
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -111,10 +115,8 @@ def main():
         g = resample.resize(luma, s.tracker.detection_size)
 
         def detect_body(st, t):
-            fs, q = feats_mod.detect(
-                g + 1e-6 * t, s.tracker.detector, prev=None, thresholds=None
-            )
-            return st, q
+            fs, thr = feats_mod.detect(g + 1e-6 * t, det0.thresholds, s.tracker.detector)
+            return st, jnp.sum(fs.points) + jnp.sum(thr)
 
         print(f"features.detect:      {scan_time(detect_body, jnp.float32(0)):7.3f} ms")
     except Exception as e:  # signature drift: report, keep going

@@ -65,7 +65,7 @@ def main():
             s.motion, use_homography=jnp.asarray(True),
             min_samples=s.min_motion_samples,
         )
-        return c, est.stability + jnp.sum(est.homography.matrix)
+        return c, est.stability + jnp.sum(est.homography.m)
 
     print(f"ransac.estimate:      {scan_time(t_ransac, jnp.float32(0)):7.3f} ms")
 
