@@ -92,6 +92,8 @@ def scharr_gradients(img: jax.Array) -> tuple[jax.Array, jax.Array]:
     return dx, dy
 
 
+
+
 def resize(img: jax.Array, size: tuple[int, int], antialias: bool = True) -> jax.Array:
     """Bilinear resize of (..., H, W) to (..., size[0], size[1]).
 

@@ -12,9 +12,12 @@ predication are fine):
      This absorbs the stabilizer's large global correction (up to the
      corrective limit) for free.
   2. The output is tiled on a (gh, gw) grid.  Each tile statically fetches
-     its 3x3 block neighbourhood of the shifted source (9 BlockSpecs of the
-     same array with +/-1 block index offsets over a block-padded copy), so
-     every sample within +/-(tile+margin) of the tile is in VMEM.
+     a 2x2 block neighbourhood of the shifted source.  The inputs are laid
+     out pre-shifted by `margin+1` px (top/left edge pad), so the sampling
+     window [tile - margin, tile + tile + margin) of every tile lands in
+     exactly TWO consecutive blocks per axis (requires 2*margin+4 <= tile):
+     4 source blocks per tile instead of the 9 a 3x3 halo fetch needs —
+     4x total HBM traffic instead of 9x.
   3. Sampling is a two-pass separable resample; each pass is shift-select:
      a statically unrolled loop over the +/-margin shift window where each
      iteration is `pl.when`-guarded by the tile's ACTUAL residual range
@@ -36,7 +39,7 @@ predication are fine):
 The `margin` must cover the residual (post-mean-shift) displacement:
 rotation/zoom reach at the frame corners plus mesh deformation.  Default 32
 px covers ~1 degree of corrective roll at 1080p; raise it for extreme
-stabilization settings.
+stabilization settings (and the tile with it: 2*margin+4 <= tile).
 
 Reference parity: the fused warp kernels of reference Functions/OpenCL/
 Sources/FSR.cl:362-452 with bilinear filtering; background-fill border
@@ -63,38 +66,38 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(
     xmap_ref,  # (TH, TW): output-pixel source-x map (global coords)
-    vmap_l_ref, vmap_c_ref, vmap_r_ref,  # (TH, TW) vmap col-neighbourhood
+    vmap_0_ref, vmap_1_ref,  # (TH, TW) vmap col-block pair (shifted layout)
     *refs,
     th: int,
     tw: int,
     margin: int,
     channels: int,
 ):
-    src_refs = refs[:9]  # 3x3 neighbourhood, row-major, each (C, TH, TW)
-    out_ref, s_s, v_s, tmp_s = refs[9:13]
+    src_refs = refs[:4]  # 2x2 neighbourhood, row-major, each (C, TH, TW)
+    out_ref, s_s, v_s, tmp_s = refs[4:8]
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     m = margin
 
-    # ---- assemble the 3x3 source neighbourhood and the vmap strip --------
-    for bi in range(3):
-        for bj in range(3):
-            r = src_refs[bi * 3 + bj]
+    # ---- assemble the 2x2 source neighbourhood and the vmap strip --------
+    # s_s row/col 0 is global source row/col (ty*th - m - 1, tx*tw - m - 1).
+    for bi in range(2):
+        for bj in range(2):
+            r = src_refs[bi * 2 + bj]
             for c in range(channels):
                 s_s[c, bi * th : (bi + 1) * th, bj * tw : (bj + 1) * tw] = r[c]
-    v_s[:, 0:tw] = vmap_l_ref[...]
-    v_s[:, tw : 2 * tw] = vmap_c_ref[...]
-    v_s[:, 2 * tw : 3 * tw] = vmap_r_ref[...]
+    v_s[:, 0:tw] = vmap_0_ref[...]
+    v_s[:, tw : 2 * tw] = vmap_1_ref[...]
 
-    twe = tw + 2 * m  # tmp width: the horizontal sampling reach
+    twe = tw + 2 * m + 2  # tmp width: the horizontal sampling reach
 
     # ---- vertical pass ---------------------------------------------------
     # tmp(i, c) = S[ly(i, c), c] for source columns c in the tile's reach.
-    ly = v_s[:, tw - m : tw + tw + m]  # (TH, TWE) global source rows
-    row0 = (ty * th).astype(jnp.float32) - th  # global row of S row 0
+    ly = v_s[:, 0:twe]  # (TH, TWE) global source rows
+    row0 = (ty * th).astype(jnp.float32) - (m + 1)  # global row of S row 0
     i_iota = lax.broadcasted_iota(jnp.int32, (th, twe), 0).astype(jnp.float32)
     s_f = ly - row0 - i_iota  # desired S-local row minus output row
-    s_f = jnp.clip(s_f, float(th - m), float(th + m) - 1e-3)
+    s_f = jnp.clip(s_f, 1.0, float(2 * m + 1) - 1e-3)
     s0 = jnp.floor(s_f)
     fy = s_f - s0
     s0i = s0.astype(jnp.int32)
@@ -104,24 +107,24 @@ def _kernel(
     for c in range(channels):
         tmp_s[c, :, 0:twe] = jnp.zeros((th, twe), jnp.float32)
 
-    for s in range(th - m, th + m + 1):
+    for s in range(1, 2 * m + 2):
         @pl.when((s >= s_lo) & (s <= s_hi))
         def _(s=s):
             mk = (s0i == s).astype(jnp.float32)
             wa = mk * (1.0 - fy)
             wb = mk * fy
             for c in range(channels):
-                rows = s_s[c, s : s + th, tw - m : tw + tw + m]
-                rows1 = s_s[c, s + 1 : s + 1 + th, tw - m : tw + tw + m]
+                rows = s_s[c, s : s + th, 0:twe]
+                rows1 = s_s[c, s + 1 : s + 1 + th, 0:twe]
                 tmp_s[c, :, 0:twe] += wa * rows + wb * rows1
 
     # ---- horizontal pass -------------------------------------------------
-    # out(i, j) = tmp(i, lx(i, j)); tmp col 0 is global col tx*TW - m.
+    # out(i, j) = tmp(i, lx(i, j)); tmp col 0 is global col tx*TW - m - 1.
     lx = xmap_ref[...]  # (TH, TW) global source cols
-    col0 = (tx * tw).astype(jnp.float32) - m
+    col0 = (tx * tw).astype(jnp.float32) - (m + 1)
     j_iota = lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
     t_f = lx - col0 - j_iota
-    t_f = jnp.clip(t_f, 0.0, float(2 * m) - 1e-3)
+    t_f = jnp.clip(t_f, 1.0, float(2 * m + 1) - 1e-3)
     t0 = jnp.floor(t_f)
     fx = t_f - t0
     t0i = t0.astype(jnp.int32)
@@ -130,7 +133,7 @@ def _kernel(
 
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    for s in range(0, 2 * m + 1):
+    for s in range(1, 2 * m + 2):
         @pl.when((s >= t_lo) & (s <= t_hi))
         def _(s=s):
             mk = (t0i == s).astype(jnp.float32)
@@ -144,7 +147,7 @@ def _kernel(
 
 def _easu_kernel(
     xmap_ref,
-    vmap_l_ref, vmap_c_ref, vmap_r_ref,
+    vmap_0_ref, vmap_1_ref,
     *refs,
     th: int,
     tw: int,
@@ -159,29 +162,28 @@ def _easu_kernel(
     easu_remap (FSR.cl:362-452)."""
     from livevisionkit_tpu.ops import easu as easu_ops
 
-    src_refs = refs[:9]
-    out_ref, s_s, v_s, r_s, t_s = refs[9:14]
+    src_refs = refs[:4]
+    out_ref, s_s, v_s, r_s, t_s = refs[4:9]
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     m = margin
 
-    for bi in range(3):
-        for bj in range(3):
-            r = src_refs[bi * 3 + bj]
+    for bi in range(2):
+        for bj in range(2):
+            r = src_refs[bi * 2 + bj]
             for c in range(channels):
                 s_s[c, bi * th : (bi + 1) * th, bj * tw : (bj + 1) * tw] = r[c]
-    v_s[:, 0:tw] = vmap_l_ref[...]
-    v_s[:, tw : 2 * tw] = vmap_c_ref[...]
-    v_s[:, 2 * tw : 3 * tw] = vmap_r_ref[...]
+    v_s[:, 0:tw] = vmap_0_ref[...]
+    v_s[:, tw : 2 * tw] = vmap_1_ref[...]
 
     twe = tw + 2 * m + 4  # +1 left tap, +2 right taps, +1 lerp slack
 
     # ---- vertical alignment: 4 row-tap planes + the fy plane --------------
-    ly = v_s[:, tw - m - 1 : tw + tw + m + 3]
-    row0 = (ty * th).astype(jnp.float32) - th
+    ly = v_s[:, 0:twe]
+    row0 = (ty * th).astype(jnp.float32) - (m + 1)
     i_iota = lax.broadcasted_iota(jnp.int32, (th, twe), 0).astype(jnp.float32)
     s_f = ly - row0 - i_iota
-    s_f = jnp.clip(s_f, float(th - m), float(th + m) - 1e-3)
+    s_f = jnp.clip(s_f, 1.0, float(2 * m + 1) - 1e-3)
     s0 = jnp.floor(s_f)
     fy = s_f - s0
     s0i = s0.astype(jnp.int32)
@@ -190,21 +192,21 @@ def _easu_kernel(
 
     # r_s layout: (4 row taps, C+1 planes, TH, TWE); plane C carries fy.
     r_s[...] = jnp.zeros(r_s.shape, r_s.dtype)
-    for s in range(th - m, th + m + 1):
+    for s in range(1, 2 * m + 2):
         @pl.when((s >= s_lo) & (s <= s_hi))
         def _(s=s):
             mk = (s0i == s).astype(jnp.float32)
             for rt, dr in enumerate((-1, 0, 1, 2)):
                 for c in range(channels):
                     r_s[rt, c, :, 0:twe] += mk * s_s[
-                        c, s + dr : s + dr + th, tw - m - 1 : tw + tw + m + 3
+                        c, s + dr : s + dr + th, 0:twe
                     ]
             r_s[0, channels, :, 0:twe] += mk * fy  # fy rides along row-tap 0
 
     # ---- horizontal alignment: 4x4 tap planes + fx -------------------------
     lx = xmap_ref[...]
     # r_s column 0 is global col tx*TW - m - 1.
-    col0 = (tx * tw).astype(jnp.float32) - m - 1
+    col0 = (tx * tw).astype(jnp.float32) - (m + 1)
     j_iota = lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
     t_f = lx - col0 - j_iota
     t_f = jnp.clip(t_f, 1.0, float(2 * m + 1) - 1e-3)
@@ -278,19 +280,15 @@ def pallas_remap(
     src = src.astype(jnp.float32)
     c, h, w = src.shape
     th, tw = tile
-    assert margin < min(th, tw), "margin must be smaller than the tile"
+    assert 2 * margin + 4 <= min(th, tw), (
+        "2*margin+4 must fit in one tile (2-block window span)"
+    )
 
     # ---- 1. remove the mean integer displacement (XLA, cheap) ------------
     idm = remap_ops.identity_map((h, w))
     disp = sample_map - idm
     mdy = jnp.clip(jnp.round(jnp.mean(disp[0])).astype(jnp.int32), -max_shift, max_shift)
     mdx = jnp.clip(jnp.round(jnp.mean(disp[1])).astype(jnp.int32), -max_shift, max_shift)
-    src_sh = lax.dynamic_slice(
-        jnp.pad(src, ((0, 0), (max_shift, max_shift), (max_shift, max_shift)),
-                mode="edge"),
-        (0, max_shift + mdy, max_shift + mdx),
-        (c, h, w),
-    )
     map_y = sample_map[0] - mdy.astype(jnp.float32)
     map_x = sample_map[1] - mdx.astype(jnp.float32)
 
@@ -301,29 +299,42 @@ def pallas_remap(
     vmap_y = jnp.clip(vmap_y, float(2 - margin), float(h - 3 + margin))
     map_x = jnp.clip(map_x, float(2 - margin), float(w - 3 + margin))
 
-    # ---- 3. pad to the tile grid + one halo block ------------------------
+    # ---- 3. pad into the (margin+1)-shifted tile layout -------------------
+    # The source and the vmap columns are shifted by sft = margin+1, so the
+    # window [t*T - m - 1, t*T + T + m + 3) of tile t is covered by blocks
+    # {t, t+1} exactly (2*margin+4 <= tile).
+    sft = margin + 1
     h2, w2 = _round_up(h, th), _round_up(w, tw)
     gh, gw = h2 // th, w2 // tw
+    hs, ws = (gh + 1) * th, (gw + 1) * tw  # shifted-layout extents
 
-    def pad_to_grid(x, value_mode):
-        if value_mode == "edge":
-            return jnp.pad(
-                x, ((0, 0),) * (x.ndim - 2) + ((0, h2 - h), (0, w2 - w)),
-                mode="edge",
-            )
-        # displacement-preserving pad for maps: identity + edge displacement
-        base = idm[0] if value_mode == "y" else idm[1]
-        big = remap_ops.identity_map((h2, w2))[0 if value_mode == "y" else 1]
-        d = jnp.pad(x - base, ((0, h2 - h), (0, w2 - w)), mode="edge")
-        return big + d
-
-    src_g = pad_to_grid(src_sh, "edge")
-    vmap_g = pad_to_grid(vmap_y, "y")
-    xmap_g = pad_to_grid(map_x, "x")
-    # One halo block on each side (the kernel fetches the 3x3 neighbourhood).
-    src_g = jnp.pad(src_g, ((0, 0), (th, th), (tw, tw)), mode="edge")
-    vmap_g = jnp.pad(vmap_g, ((th, th), (tw, tw)), mode="edge")
-    xmap_g = jnp.pad(xmap_g, ((th, th), (tw, tw)), mode="edge")
+    # Source: ONE edge pad covering both the mean shift and the tile layout,
+    # then one dynamic-slice into the shifted layout (src_g[r] = src[r + mdy
+    # - sft]).  Fusing the two stages keeps real frame content in the halo
+    # band (a separate mean-shift pass would edge-replicate it) and saves a
+    # full-frame copy.
+    src_big = jnp.pad(
+        src,
+        (
+            (0, 0),
+            (max_shift + sft, max_shift + hs - h - sft),
+            (max_shift + sft, max_shift + ws - w - sft),
+        ),
+        mode="edge",
+    )
+    src_g = lax.dynamic_slice(
+        src_big, (0, max_shift + mdy, max_shift + mdx), (c, hs, ws)
+    )
+    # Vertical map, indexed (output row, source col): displacement-preserving
+    # pad (replicate the displacement, keep the row-identity base), columns
+    # shifted right by sft.
+    d_v = vmap_y - idm[0]
+    d_v = jnp.pad(d_v, ((0, h2 - h), (sft, ws - w - sft)), mode="edge")
+    vmap_g = lax.broadcasted_iota(jnp.float32, (h2, ws), 0) + d_v
+    # Horizontal map, indexed (output row, output col): no shift, no halo.
+    d_x = map_x - idm[1]
+    d_x = jnp.pad(d_x, ((0, h2 - h), (0, w2 - w)), mode="edge")
+    xmap_g = lax.broadcasted_iota(jnp.float32, (h2, w2), 1) + d_x
 
     if filter_mode == "easu":
         from livevisionkit_tpu.types import PixelFormat
@@ -343,7 +354,7 @@ def pallas_remap(
             _kernel, th=th, tw=tw, margin=margin, channels=c
         )
         extra_scratch = [
-            pltpu.VMEM((c, th, _round_up(tw + 2 * margin, 128)), jnp.float32),
+            pltpu.VMEM((c, th, _round_up(tw + 2 * margin + 2, 128)), jnp.float32),
         ]
     src_specs = [
         pl.BlockSpec(
@@ -353,23 +364,23 @@ def pallas_remap(
             ),
             memory_space=pltpu.VMEM,
         )
-        for bi in range(3)
-        for bj in range(3)
+        for bi in range(2)
+        for bj in range(2)
     ]
     vmap_specs = [
         pl.BlockSpec(
             (th, tw),
-            functools.partial(lambda ty, tx, dj: (ty + 1, tx + dj), dj=bj),
+            functools.partial(lambda ty, tx, dj: (ty, tx + dj), dj=bj),
             memory_space=pltpu.VMEM,
         )
-        for bj in range(3)
+        for bj in range(2)
     ]
     out = pl.pallas_call(
         kernel,
         grid=(gh, gw),
         in_specs=[
             pl.BlockSpec(
-                (th, tw), lambda ty, tx: (ty + 1, tx + 1), memory_space=pltpu.VMEM
+                (th, tw), lambda ty, tx: (ty, tx), memory_space=pltpu.VMEM
             ),
             *vmap_specs,
             *src_specs,
@@ -378,13 +389,13 @@ def pallas_remap(
             (c, th, tw), lambda ty, tx: (0, ty, tx), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((c, 3 * th, 3 * tw), jnp.float32),
-            pltpu.VMEM((th, 3 * tw), jnp.float32),
+            pltpu.VMEM((c, 2 * th, 2 * tw), jnp.float32),
+            pltpu.VMEM((th, 2 * tw), jnp.float32),
             *extra_scratch,
         ],
         out_shape=jax.ShapeDtypeStruct((c, h2, w2), jnp.float32),
         interpret=interpret,
-    )(xmap_g, *([vmap_g] * 3), *([src_g] * 9))
+    )(xmap_g, *([vmap_g] * 2), *([src_g] * 4))
 
     out = out[:, :h, :w]
     if fill_mode:

@@ -6,18 +6,25 @@ levels, 5 iterations, with per-feature tracked/lost status.
 
 TPU-native design: the reference reads keypoints back to host vectors and
 lets OpenCV iterate per feature on the GPU.  Here the whole solver is one
-fixed-shape tensor program vmapped over the feature axis:
+fixed-shape tensor program batched over the feature axis:
 
   * pyramids are built once per frame with stencil convs (ops/resample);
-  * per level, each feature bilinearly samples its WxW template window, the
-    Scharr gradient windows, and — inside a `fori_loop` of `iterations` —
-    the warped search window from the next frame;
+    no full-image gradients are kept — Scharr gradients are computed
+    per-feature INSIDE the sampled template patch (the 3x3 stencil is local
+    and commutes with the uniform bilinear sub-pixel shift, so this is
+    numerically identical away from image borders, like OpenCV's own
+    patch-local derivative buffer) — this keeps the carried tracking state
+    to the pyramid alone and makes the template fetch a single-plane
+    extraction;
+  * per level, each feature bilinearly samples one (W+3)x(W+3) template
+    block, and — in a statically unrolled loop of `iterations` — the warped
+    search window from the next frame;
   * the 2x2 normal-equation solve is closed-form (no linalg calls);
   * lost features are masked, never removed: the output has the same (N,)
     shape as the input, so the whole thing jits into the per-frame step.
 
-Like OpenCV's implementation, gradients are computed on the *template* once
-per level and reused across iterations (Gauss-Newton with a frozen Jacobian).
+Window sampling is gather-free: selecting `taps` consecutive rows/columns
+per feature is a dense one-hot einsum on the MXU (see _one_hot_selectors).
 """
 
 from __future__ import annotations
@@ -27,21 +34,17 @@ import jax.numpy as jnp
 from flax import struct
 
 from livevisionkit_tpu.config import OpticalFlowSettings
-from livevisionkit_tpu.ops import remap as remap_ops
 from livevisionkit_tpu.ops import resample
 
 
 class Pyramid(struct.PyTreeNode):
-    """Per-frame image pyramid + template gradients (tracking state)."""
+    """Per-frame image pyramid (the tracking state carried between frames)."""
 
     levels: tuple[jax.Array, ...]  # (H/2^l, W/2^l) luma, level 0 first
-    grads: tuple[tuple[jax.Array, jax.Array], ...]  # (dx, dy) per level
 
     @classmethod
     def build(cls, gray: jax.Array, num_levels: int) -> "Pyramid":
-        levels = tuple(resample.build_pyramid(gray, num_levels))
-        grads = tuple(resample.scharr_gradients(im) for im in levels)
-        return cls(levels=levels, grads=grads)
+        return cls(levels=tuple(resample.build_pyramid(gray, num_levels)))
 
 
 def _one_hot_selectors(base: jax.Array, taps: int, extent: int) -> jax.Array:
@@ -97,10 +100,22 @@ def _bilinear_windows(
     return top + (bot - top) * fy
 
 
+def _patch_scharr(bwin: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(dx, dy) Scharr gradients of the interior of (N, win+2, win+2) patches.
+
+    Numerically identical to sampling full-image Scharr gradients (away from
+    image borders): the 3x3 stencil commutes with the uniform bilinear shift
+    already applied to the patch.
+    """
+    sv = (3.0 * bwin[:, :-2, :] + 10.0 * bwin[:, 1:-1, :] + 3.0 * bwin[:, 2:, :]) / 32.0
+    gx = sv[:, :, 2:] - sv[:, :, :-2]
+    dv = bwin[:, 2:, :] - bwin[:, :-2, :]
+    gy = (3.0 * dv[:, :, :-2] + 10.0 * dv[:, :, 1:-1] + 3.0 * dv[:, :, 2:]) / 32.0
+    return gx, gy
+
+
 def _track_level(
     prev_img: jax.Array,
-    prev_dx: jax.Array,
-    prev_dy: jax.Array,
     next_img: jax.Array,
     pts: jax.Array,  # (N, 2) positions at THIS level's scale
     guess: jax.Array,  # (N, 2) incoming flow at this level's scale
@@ -126,13 +141,14 @@ def _track_level(
         frac = p - jnp.floor(p)
         return base, frac
 
-    # Template + gradient windows share one extraction (3 channels).
+    # Template block with a 1-px gradient halo: single-plane extraction.
     base_t, frac_t = split(pts)
     tmpl_blocks = _extract_blocks(
-        jnp.stack([prev_img, prev_dx, prev_dy]), base_t, taps
-    )
-    twin = _bilinear_windows(tmpl_blocks, frac_t)  # (N, 3, win, win)
-    tmpl, gx, gy = twin[:, 0], twin[:, 1], twin[:, 2]
+        prev_img[None], base_t - 1, taps + 2
+    )  # (N, 1, win+3, win+3)
+    bwin = _bilinear_windows(tmpl_blocks, frac_t)[:, 0]  # (N, win+2, win+2)
+    tmpl = bwin[:, 1:-1, 1:-1]
+    gx, gy = _patch_scharr(bwin)
 
     # Spatial gradient matrix (frozen across iterations, like OpenCV).
     gxx = jnp.sum(gx * gx, axis=(1, 2))  # (N,)
@@ -144,7 +160,10 @@ def _track_level(
     good_g = (min_eig / area) >= settings.min_eigen_threshold
     inv_det = jnp.where(det > 1e-12, 1.0 / det, 0.0)
 
-    def body(_, g):
+    # Statically unrolled Gauss-Newton iterations (unrolling lets XLA fuse
+    # the solve arithmetic across iterations instead of looping a while-op).
+    g = guess
+    for _ in range(settings.iterations):
         base_j, frac_j = split(pts + g)
         blocks = _extract_blocks(next_img[None], base_j, taps)
         warped = _bilinear_windows(blocks, frac_j)[:, 0]
@@ -153,9 +172,8 @@ def _track_level(
         by = jnp.sum(rr * gy, axis=(1, 2))
         du = (gyy * bx - gxy * by) * inv_det
         dv = (gxx * by - gxy * bx) * inv_det
-        return g + jnp.stack([du, dv], axis=-1)
+        g = g + jnp.stack([du, dv], axis=-1)
 
-    g = jax.lax.fori_loop(0, settings.iterations, body, guess)
     target = pts + g
     inside = (
         (target[:, 0] >= 0.0)
@@ -192,9 +210,8 @@ def track(
     tracked = valid
     for lvl in range(top, -1, -1):
         s = 2.0**lvl
-        dx, dy = prev.grads[lvl]
         flow, good, _ = _track_level(
-            prev.levels[lvl], dx, dy, nxt.levels[lvl], pts / s, flow, settings
+            prev.levels[lvl], nxt.levels[lvl], pts / s, flow, settings
         )
         tracked = tracked & good
         if lvl > 0:
