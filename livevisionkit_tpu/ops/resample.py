@@ -68,13 +68,29 @@ def gaussian_blur5(img: jax.Array) -> jax.Array:
     return _sep_conv2d(img, _BINOMIAL5, _BINOMIAL5)
 
 
+def _decimate2(img: jax.Array) -> jax.Array:
+    """Take every 2nd row/column of trailing (H, W); output ceil(n/2).
+
+    NOT `img[..., ::2, ::2]`: a lane-strided slice costs ~0.3 ms at 480x270
+    on TPU (Mosaic relayout), while an even-size reshape + unit-index select
+    is free.  Odd extents are edge-padded by one first (the selected indices
+    are identical).
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    lead = [(0, 0)] * (img.ndim - 2)
+    if h % 2 or w % 2:
+        img = jnp.pad(img, lead + [(0, h % 2), (0, w % 2)], mode="edge")
+    oh, ow = (h + 1) // 2, (w + 1) // 2
+    x = img.reshape(img.shape[:-2] + (oh, 2, ow, 2))
+    return x[..., :, 0, :, 0]
+
+
 def pyr_down(img: jax.Array) -> jax.Array:
     """One pyramid level: binomial blur + 2x decimation (cv::pyrDown).
 
     Output spatial dims are ceil(n/2), matching OpenCV.
     """
-    blurred = gaussian_blur5(img)
-    return blurred[..., ::2, ::2]
+    return _decimate2(gaussian_blur5(img))
 
 
 def build_pyramid(img: jax.Array, levels: int) -> list[jax.Array]:
