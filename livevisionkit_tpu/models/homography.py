@@ -120,7 +120,20 @@ class Homography(struct.PyTreeNode):
         return Homography(m=self.m @ other.m)
 
     def inverse(self) -> "Homography":
-        return Homography(m=jnp.linalg.inv(self.m))
+        """Closed-form adjugate inverse: for a homography only the matrix up
+        to scale matters, so adj(m) (= inv(m)*det(m)) is an exact inverse in
+        projective terms and avoids jnp.linalg.inv's generic LU path."""
+        m = self.m
+        adj = jnp.stack([
+            jnp.stack([m[1,1]*m[2,2]-m[1,2]*m[2,1], m[0,2]*m[2,1]-m[0,1]*m[2,2], m[0,1]*m[1,2]-m[0,2]*m[1,1]]),
+            jnp.stack([m[1,2]*m[2,0]-m[1,0]*m[2,2], m[0,0]*m[2,2]-m[0,2]*m[2,0], m[0,2]*m[1,0]-m[0,0]*m[1,2]]),
+            jnp.stack([m[1,0]*m[2,1]-m[1,1]*m[2,0], m[0,1]*m[2,0]-m[0,0]*m[2,1], m[0,0]*m[1,1]-m[0,1]*m[1,0]]),
+        ])
+        # Normalize so [2,2] ~ 1 when possible (keeps transform() numerics
+        # comparable to a true inverse).
+        s = adj[2, 2]
+        scale = jnp.where(jnp.abs(s) > 1e-12, 1.0 / s, 1.0)
+        return Homography(m=adj * scale)
 
     def normalized(self) -> "Homography":
         """Scale so m[2,2] == 1 (projective scale ambiguity)."""
@@ -144,12 +157,15 @@ class Homography(struct.PyTreeNode):
         (output(u) = input(H u)), useful for rendering 'the scene as seen
         from pose H'."""
         h, w = size
-        inv = jnp.linalg.inv(self.m) if inverse else self.m
-        idm = remap_ops.identity_map(size)  # (2, H, W) as (y, x)
-        pts = jnp.stack([idm[1], idm[0], jnp.ones_like(idm[0])])  # homogeneous (x,y,1)
-        src = jnp.einsum("ij,jhw->ihw", inv.astype(idm.dtype), pts)
-        sx = src[0] / src[2]
-        sy = src[1] / src[2]
+        m = (self.inverse() if inverse else self).m.astype(jnp.float32)
+        # Fused scalar-broadcast arithmetic: ~2 VPU passes over the output,
+        # no homogeneous point tensor and no tiny-contraction matmul (which
+        # cost ~0.4 ms at 1080p).
+        xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        den = m[2, 0] * xx + m[2, 1] * yy + m[2, 2]
+        sx = (m[0, 0] * xx + m[0, 1] * yy + m[0, 2]) / den
+        sy = (m[1, 0] * xx + m[1, 1] * yy + m[1, 2]) / den
         return jnp.stack([sy, sx])
 
     def warp(
