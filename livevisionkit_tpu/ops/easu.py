@@ -180,18 +180,134 @@ def easu_remap(
     return out[0] if squeeze else out
 
 
+def _easu_scale_rational(
+    img: jax.Array, out_size: tuple[int, int], fmt: PixelFormat,
+    py: int, qy: int, px_: int, qx: int,
+) -> jax.Array:
+    """Polyphase easu_scale for rational scale factors oh/ih = py/qy,
+    ow/iw = px_/qx (all FSR presets: 2, 3/2, 4/3, ...).
+
+    With output pixel u = 2p*k + r, the source tap index (2q*u + q - p) //
+    (2p) + dt splits into 2q*k + psi(r, dt): for each of the 2p x 2p output
+    PHASES every tap plane is a unit slice + even-reshape select of the
+    source (no gathers, no strided slices, no repeat — all of which relayout
+    or OOM at 4K: the 12 gathered 4K tap planes of the naive path are
+    ~1.2 GB and faulted the device), and the sub-pixel offsets ppx/ppy are
+    per-phase COMPILE-TIME CONSTANTS (classic polyphase filtering).  The
+    EASU core then runs once per phase on (oh/2p, ow/2p) tiles and the
+    phases interleave back with one stack+reshape per axis.
+
+    Numerically identical to the gather path away from the 1-px border,
+    where easu_ok is false and the `nearest` fallback (tap f, reproduced
+    exactly) applies (FSR.cl:385-397 semantics as in easu_remap)."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[None]
+    c, ih, iw = img.shape
+    oh, ow = out_size
+    phy, sty = 2 * py, 2 * qy  # phases / source stride per axis
+    phx, stx = 2 * px_, 2 * qx
+    ky, kx = -(-oh // phy), -(-ow // phx)
+
+    def psi(r, dt, p, q):
+        return (2 * q * r + q - p) // (2 * p) + dt + 2  # +2: pad re-base
+
+    # Total padded length must cover the largest phase slice
+    # [psi, psi + stride*count): psi is relative to the 2-left-padded array.
+    need_y = psi(phy - 1, 2, py, qy) + sty * ky
+    need_x = psi(phx - 1, 2, px_, qx) + stx * kx
+    a = jnp.pad(
+        img,
+        ((0, 0), (2, max(2, need_y - ih - 2)), (2, max(2, need_x - iw - 2))),
+        mode="edge",
+    )
+
+    def rsel(x, axis, start, stride, count):
+        """x[..., start + stride*k, ...] for k in [0, count) — slice +
+        even-reshape select (free on TPU, unlike strided slicing)."""
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(start, start + stride * count)
+        xr = x[tuple(sl)]
+        shape = list(xr.shape)
+        shape[axis] = count
+        shape.insert(axis + 1, stride)
+        sel = [slice(None)] * (x.ndim + 1)
+        sel[axis + 1] = 0
+        return xr.reshape(shape)[tuple(sel)]
+
+    row_groups = []
+    for ry in range(phy):
+        strips = {
+            dy: rsel(a, 1, psi(ry, dy, py, qy), sty, ky) for dy in (-1, 0, 1, 2)
+        }  # (c, ky, aw)
+        num_y = 2 * qy * ry + qy - py
+        ppy = jnp.float32((num_y % phy) / phy)
+        y0 = num_y // phy + jax.lax.broadcasted_iota(
+            jnp.int32, (ky, 1), 0
+        ) * sty  # y0 of row k in this phase
+        ok_y = (y0 >= 1) & (y0 < ih - 4)
+        col_groups = []
+        for rx in range(phx):
+            px = {
+                letter: rsel(strips[dy], 2, psi(rx, dx, px_, qx), stx, kx)
+                for letter, (dx, dy) in _TAPS.items()
+            }  # each (c, ky, kx)
+            num_x = 2 * qx * rx + qx - px_
+            ppx = jnp.float32((num_x % phx) / phx)
+            x0 = num_x // phx + jax.lax.broadcasted_iota(
+                jnp.int32, (1, kx), 1
+            ) * stx
+            ok = ok_y & (x0 >= 1) & (x0 < iw - 4)
+            val = jnp.where(ok, _easu_core(px, ppx, ppy, fmt), px["f"])
+            col_groups.append(val)
+        # Interleave columns: (c, ky, kx, phx) -> (c, ky, kx*phx).
+        g = jnp.stack(col_groups, axis=-1).reshape(c, ky, kx * phx)
+        row_groups.append(g)
+    # Interleave rows: (c, ky, phy, W) -> (c, ky*phy, W).
+    out = jnp.stack(row_groups, axis=2).reshape(c, ky * phy, kx * phx)
+    out = out[:, :oh, :ow]
+    return out[0] if squeeze else out
+
+
 def easu_scale(
     img: jax.Array, out_size: tuple[int, int], fmt: PixelFormat = PixelFormat.YUV
 ) -> jax.Array:
     """EASU upscale to `out_size` (reference easu_scale, FSR.cl:324-358):
     sample positions follow the half-pixel convention
-    p = (u + 0.5) * (in/out) - 0.5."""
+    p = (u + 0.5) * (in/out) - 0.5.
+
+    Small-rational scale factors (2, 3/2, 4/3, 3, ... — every FSR preset)
+    take the gather-free repeat/reshape-select path, which XLA fuses end to
+    end; other factors fall back to the gather-based easu_remap evaluated in
+    row bands (bounded memory: the 12 full-frame tap planes of a 4K output
+    would otherwise exceed device memory)."""
     h, w = img.shape[-2:]
     oh, ow = out_size
-    yy = (jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 0) + 0.5) * (h / oh) - 0.5
-    xx = (jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 1) + 0.5) * (w / ow) - 0.5
-    # Upscaling never leaves the source: clamp the half-pixel border
-    # positions inside so the edge uses the nearest path, not background.
-    yy = jnp.clip(yy, 0.0, h - 1.0)
-    xx = jnp.clip(xx, 0.0, w - 1.0)
-    return easu_remap(img, jnp.stack([yy, xx]), fmt=fmt)
+    import math
+
+    gy, gx = math.gcd(oh, h), math.gcd(ow, w)
+    py, qy = oh // gy, h // gy
+    px_, qx = ow // gx, w // gx
+    if max(py, px_) <= 8 and py >= qy and px_ >= qx:
+        return _easu_scale_rational(img, out_size, fmt, py, qy, px_, qx)
+
+    # Banded fallback for awkward ratios.
+    yy = (jax.lax.broadcasted_iota(jnp.float32, (oh, 1), 0) + 0.5) * (h / oh) - 0.5
+    xx = (jax.lax.broadcasted_iota(jnp.float32, (1, ow), 1) + 0.5) * (w / ow) - 0.5
+    yy = jnp.broadcast_to(jnp.clip(yy, 0.0, h - 1.0), (oh, ow))
+    xx = jnp.broadcast_to(jnp.clip(xx, 0.0, w - 1.0), (oh, ow))
+    bands = max(1, min(16, oh // 256))
+    bh = -(-oh // bands)
+    pad = bands * bh - oh
+    yyp = jnp.pad(yy, ((0, pad), (0, 0)), mode="edge").reshape(bands, bh, ow)
+    xxp = jnp.pad(xx, ((0, pad), (0, 0)), mode="edge").reshape(bands, bh, ow)
+    out = jax.lax.map(
+        lambda m: easu_remap(img, m, fmt=fmt), jnp.stack([yyp, xxp], axis=1)
+    )
+    out = jnp.moveaxis(out, 0, -3) if img.ndim == 3 else out
+    # lax.map output: (bands, C, bh, ow) or (bands, bh, ow)
+    if img.ndim == 3:
+        out = out.reshape(img.shape[0], bands * bh, ow)[:, :oh]
+    else:
+        out = out.reshape(bands * bh, ow)[:oh]
+    return out

@@ -23,10 +23,14 @@ def rcas(img: jax.Array, sharpness: float = 0.8) -> jax.Array:
         img = img[None]
 
     e = img
-    b = jnp.roll(img, 1, axis=-2)  # above
-    h = jnp.roll(img, -1, axis=-2)  # below
-    d = jnp.roll(img, 1, axis=-1)  # left
-    f = jnp.roll(img, -1, axis=-1)  # right
+    # Shifted views as unit-stride slices of one edge-pad: XLA fuses these
+    # into the single elementwise pass (jnp.roll concat-materializes a full
+    # frame per shift — ~380 MB of traffic at 4K).
+    p = jnp.pad(img, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    b = p[:, :-2, 1:-1]  # above
+    h = p[:, 2:, 1:-1]  # below
+    d = p[:, 1:-1, :-2]  # left
+    f = p[:, 1:-1, 2:]  # right
 
     mn4 = jnp.minimum(jnp.minimum(b, d), jnp.minimum(f, h))
     mx4 = jnp.maximum(jnp.maximum(b, d), jnp.maximum(f, h))

@@ -293,7 +293,10 @@ def pallas_remap(
     map_x = sample_map[1] - mdx.astype(jnp.float32)
 
     # ---- 2. first-order separability correction --------------------------
-    dy_dx = (jnp.roll(map_y, -1, axis=1) - jnp.roll(map_y, 1, axis=1)) * 0.5
+    # Central difference via fused pad+slice (jnp.roll would concat-copy the
+    # map twice); edge columns get the clamped one-sided derivative.
+    mp = jnp.pad(map_y, ((0, 0), (1, 1)), mode="edge")
+    dy_dx = (mp[:, 2:] - mp[:, :-2]) * 0.5
     vmap_y = map_y - dy_dx * (map_x - idm[1])
     # Clamp into the halo reach (replicate semantics via edge padding).
     vmap_y = jnp.clip(vmap_y, float(2 - margin), float(h - 3 + margin))

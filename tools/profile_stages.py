@@ -65,7 +65,10 @@ def main():
 
     # --- full step ------------------------------------------------------
     def full_body(st, t):
-        f = frame.replace(timestamp=t.astype(jnp.float32))
+        # pixels must vary with t or XLA hoists input-only work out of
+        # the scan (loop-invariant code motion) and the number lies.
+        f = frame.replace(pixels=frame.pixels + 1e-9 * t,
+                          timestamp=t.astype(jnp.float32))
         st, out = filt.step(st, f)
         return st, jnp.sum(out.pixels[:, ::256, ::256])
 
