@@ -48,12 +48,14 @@ class DeblockingFilter(VideoFilter):
         # scaling (block 16 % scaling 4 == 0), so INTER_AREA == avg_pool.
         small = resample.avg_pool(px, s.filter_scaling)
         small = resample.median_blur(small, s.filter_size)
-        smooth = resample.resize(small, (fh, fw), antialias=False)
+        smooth = resample.upsample_linear_int(
+            small, (s.filter_scaling, s.filter_scaling)
+        )
 
         # Blockiness measure (:79-84): per-block mean |luma - block mean|.
         gray = color_ops.luma(px, frame.format)
         block_mean = resample.avg_pool(gray, block)  # (bh, bw)
-        reference = jnp.repeat(jnp.repeat(block_mean, block, 0), block, 1)
+        reference = resample.upsample_nearest_int(block_mean, block)
         measure = resample.avg_pool(jnp.abs(gray - reference), block)
 
         # Multi-level threshold -> keep map (:86-95). The reference
@@ -61,7 +63,7 @@ class DeblockingFilter(VideoFilter):
         # overwrites with (l+1)/L, i.e. keep = min(floor(m_8bit), L)/L.
         levels = s.detection_levels
         keep_blocks = jnp.minimum(jnp.floor(measure * 255.0), levels) / levels
-        keep = resample.resize(keep_blocks, (fh, fw), antialias=False)
+        keep = resample.upsample_linear_int(keep_blocks, (block, block))
 
         # Adaptive blend (:100-107).
         blended = px * keep[None] + smooth * (1.0 - keep[None])
@@ -78,11 +80,11 @@ class DeblockingFilter(VideoFilter):
         fh, fw = (h // block) * block, (w // block) * block
         gray = color_ops.luma(frame.pixels[:, :fh, :fw], frame.format)
         block_mean = resample.avg_pool(gray, block)
-        reference = jnp.repeat(jnp.repeat(block_mean, block, 0), block, 1)
+        reference = resample.upsample_nearest_int(block_mean, block)
         measure = resample.avg_pool(jnp.abs(gray - reference), block)
         keep_blocks = (
             jnp.minimum(jnp.floor(measure * 255.0), s.detection_levels)
             / s.detection_levels
         )
-        keep = resample.resize(keep_blocks, (fh, fw), antialias=False)
+        keep = resample.upsample_linear_int(keep_blocks, (block, block))
         return jnp.zeros((h, w), keep.dtype).at[:fh, :fw].set(1.0 - keep)

@@ -237,9 +237,6 @@ def _easu_scale_rational(
 
     row_groups = []
     for ry in range(phy):
-        strips = {
-            dy: rsel(a, 1, psi(ry, dy, py, qy), sty, ky) for dy in (-1, 0, 1, 2)
-        }  # (c, ky, aw)
         num_y = 2 * qy * ry + qy - py
         ppy = jnp.float32((num_y % phy) / phy)
         y0 = num_y // phy + jax.lax.broadcasted_iota(
@@ -248,8 +245,14 @@ def _easu_scale_rational(
         ok_y = (y0 >= 1) & (y0 < ih - 4)
         col_groups = []
         for rx in range(phx):
+            # Both axes as nested fused views of the padded source — no
+            # materialized row strips (those cost ~3 ms of extra traffic at
+            # 4K; XLA folds slice/reshape chains into the phase kernel).
             px = {
-                letter: rsel(strips[dy], 2, psi(rx, dx, px_, qx), stx, kx)
+                letter: rsel(
+                    rsel(a, 1, psi(ry, dy, py, qy), sty, ky),
+                    2, psi(rx, dx, px_, qx), stx, kx,
+                )
                 for letter, (dx, dy) in _TAPS.items()
             }  # each (c, ky, kx)
             num_x = 2 * qx * rx + qx - px_

@@ -156,6 +156,60 @@ def resize_corner_aligned(img: jax.Array, size: tuple[int, int]) -> jax.Array:
     return out.reshape(lead + (out_h, out_w))
 
 
+def upsample_nearest_int(img: jax.Array, factor: int) -> jax.Array:
+    """Replicate each pixel of trailing (H, W) into a factor x factor block.
+
+    Equivalent to nested jnp.repeat, but via broadcast+reshape — repeat on
+    the lane axis concat-materializes and relayouts (~ms at 1080p), the
+    broadcast form is free.
+    """
+    *lead, h, w = img.shape
+    x = img[..., :, None, :, None]
+    x = jnp.broadcast_to(x, (*lead, h, factor, w, factor))
+    return x.reshape(*lead, h * factor, w * factor)
+
+
+def _upsample_linear_axis(img: jax.Array, axis: int, f: int) -> jax.Array:
+    """Integer-factor linear upsample along `axis` (half-pixel convention,
+    antialias=False), polyphase: per output phase r the source index and
+    lerp weight are compile-time constants, so each phase is two unit
+    slices + a lerp, interleaved back with stack+reshape (no conv, no
+    gather — jax.image.resize lowers this to a conv that is slow on TPU)."""
+    ndim = img.ndim
+    axis = axis % ndim
+    n = img.shape[axis]
+    pad = [(0, 0)] * ndim
+    pad[axis] = (1, 1)
+    xp = jnp.pad(img, pad, mode="edge")
+    parts = []
+    for r in range(f):
+        phi = (r + 0.5) / f - 0.5
+        o = -1 if phi < 0 else 0
+        wgt = phi - o
+        sl_a = [slice(None)] * ndim
+        sl_a[axis] = slice(o + 1, o + 1 + n)
+        sl_b = [slice(None)] * ndim
+        sl_b[axis] = slice(o + 2, o + 2 + n)
+        a, b = xp[tuple(sl_a)], xp[tuple(sl_b)]
+        parts.append(a + (b - a) * jnp.float32(wgt))
+    out = jnp.stack(parts, axis=axis + 1)
+    shape = list(img.shape)
+    shape[axis] = n * f
+    return out.reshape(shape)
+
+
+def upsample_linear_int(img: jax.Array, factor: tuple[int, int]) -> jax.Array:
+    """Integer-factor bilinear upsample of trailing (H, W), equal to
+    jax.image.resize(..., 'linear', antialias=False) with edge clamping."""
+    fy, fx = factor
+    out = img
+    if fy > 1:
+        out = _upsample_linear_axis(out, -2, fy)
+    if fx > 1:
+        out = _upsample_linear_axis(out, -1, fx)
+    return out
+
+
 def median_blur(img: jax.Array, ksize: int) -> jax.Array:
     """ksize x ksize median filter (cv::medianBlur), reflect-padded.
 
