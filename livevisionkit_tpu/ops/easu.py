@@ -263,11 +263,22 @@ def _easu_scale_rational(
             ok = ok_y & (x0 >= 1) & (x0 < iw - 4)
             val = jnp.where(ok, _easu_core(px, ppx, ppy, fmt), px["f"])
             col_groups.append(val)
-        # Interleave columns: (c, ky, kx, phx) -> (c, ky, kx*phx).
-        g = jnp.stack(col_groups, axis=-1).reshape(c, ky, kx * phx)
-        row_groups.append(g)
-    # Interleave rows: (c, ky, phy, W) -> (c, ky*phy, W).
-    out = jnp.stack(row_groups, axis=2).reshape(c, ky * phy, kx * phx)
+        row_groups.append(col_groups)
+    # Materialization barrier: without it XLA fuses the phase math into the
+    # interleave concats and the whole scale slows ~1.5x (measured 9.0 ms vs
+    # 6.4 ms at 4K); the assembly itself costs ~0.3 ms standalone.
+    flat = jax.lax.optimization_barrier(
+        tuple(v for group in row_groups for v in group)
+    )
+    row_groups = [list(flat[i * phx : (i + 1) * phx]) for i in range(phy)]
+    # Interleave columns then rows: (c, ky, kx, phx) -> (c, ky*phy, kx*phx).
+    out = jnp.stack(
+        [
+            jnp.stack(g, axis=-1).reshape(c, ky, kx * phx)
+            for g in row_groups
+        ],
+        axis=2,
+    ).reshape(c, ky * phy, kx * phx)
     out = out[:, :oh, :ow]
     return out[0] if squeeze else out
 
