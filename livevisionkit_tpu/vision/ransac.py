@@ -9,12 +9,13 @@ stability (:179,461-464).
 
 TPU-native design: OpenCV's sequential USAC loop becomes an
 embarrassingly-parallel batch — K minimal solvers (4-point DLT for the
-homography, 2-point similarity) run as ONE vmapped 8x8 `linalg.solve`,
-all K x N residuals evaluate as one matmul-shaped broadcast, MAGSAC-style
-truncated-quadratic scores reduce per hypothesis, and `argmax` picks the
-winner.  Degenerate minimal sets produce non-finite models and score -inf.
-The winning model is polished by IRLS (Hartley-normalized weighted DLT via a
-9x9 eigendecomposition) — replacing USAC's local-optimization stage.
+homography, 2-point similarity) run as ONE batched unrolled Gauss-Jordan
+elimination, all K x N residuals evaluate as one matmul-shaped broadcast,
+MAGSAC-style truncated-quadratic scores reduce per hypothesis, and `argmax`
+picks the winner.  Degenerate minimal sets produce non-finite models and
+score -inf.  The winning model is polished by IRLS (Hartley-normalized
+weighted DLT via a 9x9 eigendecomposition) — replacing USAC's
+local-optimization stage.
 """
 
 from __future__ import annotations
@@ -109,6 +110,19 @@ def _normalization(pts: jax.Array, w: jax.Array) -> jax.Array:
     )
 
 
+def _inv3(m: jax.Array) -> jax.Array:
+    """Closed-form 3x3 inverse (adjugate/det) — avoids linalg.inv's
+    sequential LU, which is disproportionately slow for a single tiny
+    matrix on TPU."""
+    adj = jnp.stack([
+        jnp.stack([m[1,1]*m[2,2]-m[1,2]*m[2,1], m[0,2]*m[2,1]-m[0,1]*m[2,2], m[0,1]*m[1,2]-m[0,2]*m[1,1]]),
+        jnp.stack([m[1,2]*m[2,0]-m[1,0]*m[2,2], m[0,0]*m[2,2]-m[0,2]*m[2,0], m[0,2]*m[1,0]-m[0,0]*m[1,2]]),
+        jnp.stack([m[1,0]*m[2,1]-m[1,1]*m[2,0], m[0,1]*m[2,0]-m[0,0]*m[2,1], m[0,0]*m[1,1]-m[0,1]*m[1,0]]),
+    ])
+    det = m[0,0]*adj[0,0] + m[0,1]*adj[1,0] + m[0,2]*adj[2,0]
+    return adj / jnp.where(jnp.abs(det) > 1e-20, det, jnp.nan)
+
+
 def _weighted_dlt(src: jax.Array, dst: jax.Array, w: jax.Array) -> jax.Array:
     """Weighted DLT homography via the smallest eigenvector of A^T W A."""
     t_src = _normalization(src, w)
@@ -124,10 +138,15 @@ def _weighted_dlt(src: jax.Array, dst: jax.Array, w: jax.Array) -> jax.Array:
     r2 = jnp.stack([z, z, z, x, y, o, -v * x, -v * y, -v], axis=-1)
     a = jnp.concatenate([r1, r2], axis=0)  # (2N, 9)
     ww = jnp.concatenate([w, w], axis=0)
-    m = (a * ww[:, None]).T @ a  # (9, 9)
+    m = (a * ww[:, None]).T @ a  # (9, 9) PSD normal matrix
+    # Smallest eigenvector via eigh.  Measured alternatives on TPU v5e, both
+    # SLOWER for this single small system (it is latency-bound, unlike the
+    # batched dlt4 where unrolled elimination amortizes over K hypotheses):
+    # unrolled 8x8 Gauss-Jordan on the h33=1 normal equations ~0.18 ms
+    # extra, shifted inverse iteration ~0.3 ms extra.
     _, vecs = jnp.linalg.eigh(m)
     h = vecs[:, 0].reshape(3, 3)
-    h_full = jnp.linalg.inv(t_dst) @ h @ t_src
+    h_full = _inv3(t_dst) @ h @ t_src
     return h_full / h_full[2, 2]
 
 
