@@ -153,3 +153,38 @@ def test_scaling_filter_shapes(rng):
         __import__("livevisionkit_tpu").FrameSpec(36, 64, 3, PixelFormat.YUV)
     )
     assert (spec_out.height, spec_out.width) == (72, 128)
+
+
+def test_easu_scale_rational_paths_match_oracle(rng):
+    """The polyphase rational fast path and the banded fallback both match
+    the gather-based easu_remap on its pre-clamped map (exact for rational
+    ratios; float-assoc noise for the fallback)."""
+    import jax
+
+    for (ih, iw, oh, ow, tol) in [
+        (64, 96, 128, 192, 1e-6),   # 2x (polyphase)
+        (64, 96, 96, 144, 1e-4),    # 3/2 (polyphase; exact-rational ppx)
+        (72, 96, 96, 128, 1e-6),    # 4/3 (polyphase)
+        (60, 90, 127, 191, 1e-5),   # awkward ratio -> banded fallback
+    ]:
+        img = jnp.asarray(rng.uniform(size=(3, ih, iw)).astype(np.float32))
+        yy = (jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 0) + 0.5) * (ih / oh) - 0.5
+        xx = (jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 1) + 0.5) * (iw / ow) - 0.5
+        smap = jnp.stack([jnp.clip(yy, 0, ih - 1.0), jnp.clip(xx, 0, iw - 1.0)])
+        ref = np.asarray(easu.easu_remap(img, smap, fmt=PixelFormat.YUV))
+        got = np.asarray(easu.easu_scale(img, (oh, ow), fmt=PixelFormat.YUV))
+        assert np.abs(ref - got).max() < tol, (ih, iw, oh, ow)
+
+
+def test_upsample_helpers_match_jax_image(rng):
+    from livevisionkit_tpu.ops import resample
+
+    import jax
+
+    img = jnp.asarray(rng.uniform(size=(3, 17, 23)).astype(np.float32))
+    ref = jax.image.resize(img, (3, 68, 92), method="linear", antialias=False)
+    got = resample.upsample_linear_int(img, (4, 4))
+    assert np.abs(np.asarray(ref - got)).max() < 1e-6
+    nn_ref = jnp.repeat(jnp.repeat(img, 4, axis=-2), 4, axis=-1)
+    nn = resample.upsample_nearest_int(img, 4)
+    assert np.array_equal(np.asarray(nn_ref), np.asarray(nn))
