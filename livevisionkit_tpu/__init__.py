@@ -20,6 +20,7 @@ threads.
 __version__ = "0.1.0"
 
 from livevisionkit_tpu.config import (
+    CASFilterSettings,
     DeblockingFilterSettings,
     FeatureDetectorSettings,
     FrameTrackerSettings,
@@ -40,6 +41,7 @@ from livevisionkit_tpu.filters.base import (
 from livevisionkit_tpu.filters.deblocking import DeblockingFilter
 from livevisionkit_tpu.filters.lens_correction import LensCorrectionFilter
 from livevisionkit_tpu.filters.scaling import ScalingFilter
+from livevisionkit_tpu.filters.sharpening import CASFilter
 from livevisionkit_tpu.filters.stabilization import StabilizationFilter
 from livevisionkit_tpu.vision.calibration import CameraParameters
 from livevisionkit_tpu.models.homography import Homography
@@ -58,6 +60,7 @@ __all__ = [
     "StabilizationFilter",
     "DeblockingFilter",
     "ScalingFilter",
+    "CASFilter",
     "LensCorrectionFilter",
     "CameraParameters",
     "FeatureDetectorSettings",
@@ -68,5 +71,6 @@ __all__ = [
     "StabilizationFilterSettings",
     "DeblockingFilterSettings",
     "ScalingFilterSettings",
+    "CASFilterSettings",
     "__version__",
 ]

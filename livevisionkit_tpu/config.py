@@ -159,9 +159,11 @@ class StabilizationFilterSettings:
     )
     min_tracking_quality: float = 0.3
     min_scene_quality: float = 0.8
-    # Trust stepped up/down per frame (reference StabilizationFilter.cpp:29-30).
-    trust_raise_rate: float = 0.05
-    trust_drop_rate: float = 0.25
+    # QA servo constants (reference StabilizationFilter.cpp:29-30):
+    # scene-quality EMA rate QA_UPDATE_RATE and the trust blend step
+    # QA_BLEND_STEP applied both raising and dropping (:103-113).
+    scene_quality_rate: float = 0.1
+    trust_step: float = 0.05
     crop_output: bool = False  # zoom into the stable region on output
 
 
@@ -174,6 +176,15 @@ class DeblockingFilterSettings:
     block_size: int = 16
     filter_size: int = 5
     filter_scaling: int = 4
+
+
+@dataclass(frozen=True)
+class CASFilterSettings:
+    """AMD contrast-adaptive sharpening (reference CASFilter/CASEffect:
+    Modules/OBS-Plugin/Effects/CASEffect.cpp:62-90, kernel ffx_cas_mod.h).
+    sharpness 0 = default (lower ringing), 1 = maximum."""
+
+    sharpness: float = 0.8
 
 
 @dataclass(frozen=True)

@@ -136,14 +136,34 @@ class CompositeFilter(VideoFilter):
 
 @dataclass(frozen=True)
 class ConversionFilter(VideoFilter):
-    """Colour conversion (reference ConversionFilter.hpp:29-33)."""
+    """Colour conversion with optional channel extraction (reference
+    ConversionFilter.hpp:29-33: a conversion code plus `output_channels`,
+    cv::cvtColor's dstCn — the common use is extracting one plane, e.g. luma,
+    after the conversion).  `extract_channel` keeps just that plane of the
+    converted frame as a single-channel GRAY stream."""
 
     target: PixelFormat
+    extract_channel: int | None = None
 
     def step(self, state: Any, frame: Frame) -> tuple[Any, Frame]:
-        return state, frame.reformat(self.target)
+        out = frame.reformat(self.target)
+        if self.extract_channel is not None:
+            if not 0 <= self.extract_channel < out.channels:
+                raise ValueError(
+                    f"extract_channel {self.extract_channel} out of range for "
+                    f"{out.channels}-channel {self.target}"
+                )
+            out = out.replace(
+                pixels=out.pixels[self.extract_channel : self.extract_channel + 1],
+                format=PixelFormat.GRAY,
+            )
+        return state, out
 
     def output_spec(self, spec: FrameSpec) -> FrameSpec:
+        if self.extract_channel is not None:
+            return dataclasses.replace(
+                spec, format=PixelFormat.GRAY, channels=1
+            )
         return dataclasses.replace(
             spec, format=self.target, channels=self.target.channels
         )

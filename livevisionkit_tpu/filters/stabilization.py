@@ -72,7 +72,9 @@ class StabilizationFilter(VideoFilter):
             tracker=frame_tracker.init(s.tracker),
             smoother=path_smoother.init(s.smoother, s.tracker.motion_resolution),
             frames=StreamBuffer.create(template, s.smoother.predictive_samples + 1),
-            scene_quality=jnp.asarray(0.0, jnp.float32),
+            # Optimistic seed: a fresh/restarted stream assumes a trackable
+            # scene (reference restart(), StabilizationFilter.cpp:139-144).
+            scene_quality=jnp.asarray(1.0, jnp.float32),
             trust=jnp.asarray(0.0, jnp.float32),
             stability=jnp.asarray(0.0, jnp.float32),
             uniformity=jnp.asarray(0.0, jnp.float32),
@@ -116,22 +118,27 @@ class StabilizationFilter(VideoFilter):
             ok = result.ok & frame.valid
 
             # ---- QA: scene-quality EMA + trust servo ----------------------
-            # (StabilizationFilter.cpp:101-115: discontinuity -> trust 0,
-            # otherwise step up; motion scaled by trust.)
-            scene_quality = state.scene_quality + s.trust_raise_rate * (
+            # (StabilizationFilter.cpp:101-115: tracking quality below the
+            # discontinuity threshold -> trust 0 instantly; a persistently
+            # low scene-quality EMA ramps trust toward 0 — the gate at :109
+            # that suppresses stabilization on untrackable scenes; otherwise
+            # trust steps toward 1.  Motion is scaled by trust.)
+            scene_quality = state.scene_quality + s.scene_quality_rate * (
                 result.stability - state.scene_quality
             )
             scene_quality = jnp.where(frame.valid, scene_quality, state.scene_quality)
-            good = ok & (result.stability >= s.min_tracking_quality)
-            trust = jnp.where(
-                good,
-                jnp.minimum(state.trust + s.trust_raise_rate, 1.0),
-                jnp.maximum(state.trust - s.trust_drop_rate, 0.0),
+            # A tracker abort (ok=False: too few features/matches/uniformity)
+            # or sub-threshold quality is a discontinuity on a REAL frame;
+            # invalid upstream frames (warm-up bubbles) freeze trust instead.
+            discontinuity = (~result.ok) | (
+                result.stability < s.min_tracking_quality
             )
-            # A tracking discontinuity on a REAL frame zeroes trust instantly
-            # (StabilizationFilter.cpp:101-115); invalid upstream frames
-            # (warm-up bubbles) freeze it instead.
-            trust = jnp.where(result.ok, trust, 0.0)
+            trust = jnp.where(
+                scene_quality < s.min_scene_quality,
+                jnp.maximum(state.trust - s.trust_step, 0.0),
+                jnp.minimum(state.trust + s.trust_step, 1.0),
+            )
+            trust = jnp.where(discontinuity, 0.0, trust)
             trust = jnp.where(frame.valid, trust, state.trust)
             motion = result.motion * trust
         else:

@@ -11,7 +11,7 @@ re-warming the smoothing window.
 
 from __future__ import annotations
 
-import json
+import hashlib
 from typing import Any
 
 import jax
@@ -19,8 +19,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def save_state(path: str, state: Any) -> None:
-    """Snapshot a filter-state pytree to an .npz file."""
+def settings_fingerprint(filt: Any) -> str:
+    """Stable hash of a filter's full configuration (the frozen-dataclass
+    tree reprs deterministically: field order is class-definition order).
+
+    Guards resume against a silently different configuration whose state
+    happens to have matching leaf shapes (e.g. a retuned threshold): shapes
+    alone can't catch value-only settings changes.
+    """
+    return hashlib.sha256(repr(filt).encode()).hexdigest()[:16]
+
+
+def save_state(path: str, state: Any, filt: Any | None = None) -> None:
+    """Snapshot a filter-state pytree to an .npz file.  Pass the filter (or
+    any settings object) to stamp its configuration fingerprint into the
+    snapshot; load_state then refuses a mismatched configuration."""
     leaves, treedef = jax.tree.flatten(state)
     arrays = {}
     for i, leaf in enumerate(leaves):
@@ -31,13 +44,24 @@ def save_state(path: str, state: Any) -> None:
             arrays[f"key_{i}"] = np.asarray(jax.random.key_data(leaf))
         else:
             arrays[f"leaf_{i}"] = np.asarray(leaf)
+    if filt is not None:
+        arrays["settings_hash"] = np.bytes_(settings_fingerprint(filt).encode())
     np.savez_compressed(path, n_leaves=np.int64(len(leaves)), **arrays)
 
 
-def load_state(path: str, template: Any) -> Any:
+def load_state(path: str, template: Any, filt: Any | None = None) -> Any:
     """Restore a snapshot into the structure of `template` (a freshly
-    init()-ed state for the SAME filter configuration)."""
+    init()-ed state for the SAME filter configuration).  If both the
+    snapshot and this call carry a filter fingerprint, they must match."""
     data = np.load(path)
+    if filt is not None and "settings_hash" in data:
+        want = settings_fingerprint(filt)
+        got = bytes(data["settings_hash"]).decode()
+        if got != want:
+            raise ValueError(
+                f"snapshot was taken under a different filter configuration "
+                f"(fingerprint {got} != {want}); refusing to resume"
+            )
     leaves_t, treedef = jax.tree.flatten(template)
     n = int(data["n_leaves"])
     if n != len(leaves_t):

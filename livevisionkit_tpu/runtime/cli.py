@@ -24,6 +24,8 @@ import time
 
 from livevisionkit_tpu import (
     CameraParameters,
+    CASFilter,
+    CASFilterSettings,
     CompositeFilter,
     ConversionFilter,
     DeblockingFilter,
@@ -95,6 +97,10 @@ def _build_filter(name: str, opts: dict[str, str]):
             )
         )
     if name in ("cas", "sharpen"):
+        # Real AMD CAS (reference CASEffect/cas.effect), not an RCAS alias.
+        return CASFilter(CASFilterSettings(sharpness=fget("sharpness", 0.8)))
+    if name == "rcas":
+        # FSR's RCAS alone (the reference only exposes it inside FSR).
         return ScalingFilter(
             ScalingFilterSettings(output_size=None, sharpness=fget("sharpness", 0.8))
         )
@@ -106,8 +112,14 @@ def _build_filter(name: str, opts: dict[str, str]):
             params = CameraParameters.from_dict(json.load(f))
         return LensCorrectionFilter(parameters=params, alpha=fget("alpha", 0.0))
     if name in ("conv", "convert"):
-        return ConversionFilter(PixelFormat(opts.get("format", "yuv")))
-    raise SystemExit(f"unknown filter {name!r} (try: vs, adb, fsr, cas, lc, conv)")
+        extract = opts.get("extract")
+        return ConversionFilter(
+            PixelFormat(opts.get("format", "yuv")),
+            extract_channel=int(extract) if extract is not None else None,
+        )
+    raise SystemExit(
+        f"unknown filter {name!r} (try: vs, adb, fsr, cas, rcas, lc, conv)"
+    )
 
 
 def make_parser() -> argparse.ArgumentParser:
@@ -127,7 +139,7 @@ def make_parser() -> argparse.ArgumentParser:
         action="append",
         default=[],
         metavar="SPEC",
-        help="append filter: NAME[.key=val]... (vs, adb, fsr, cas, lc, conv)",
+        help="append filter: NAME[.key=val]... (vs, adb, fsr, cas, rcas, lc, conv)",
     )
     p.add_argument("-p", "--profile", help="file with extra CLI args, one per line")
     p.add_argument("-r", "--fps", type=float, help="override output frame rate")

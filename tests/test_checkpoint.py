@@ -62,6 +62,33 @@ def test_snapshot_resume_identical(rng, tmp_path):
     np.testing.assert_allclose(np.stack(outs_a), np.stack(outs_b), atol=1e-6)
 
 
+def test_snapshot_settings_hash_rejected(tmp_path):
+    """Same leaf shapes, different configuration values -> refused resume
+    (VERDICT r1: shape-only validation let a retuned filter silently
+    misbehave)."""
+    import dataclasses
+
+    filt_a = StabilizationFilter()
+    filt_b = StabilizationFilter(
+        settings=dataclasses.replace(filt_a.settings, min_scene_quality=0.5)
+    )
+    spec = FrameSpec(96, 128, 1, PixelFormat.GRAY)
+    state = filt_a.init(spec)
+    path = str(tmp_path / "s.npz")
+    checkpoint.save_state(path, state, filt=filt_a)
+    # Matching filter loads fine.
+    checkpoint.load_state(path, filt_a.init(spec), filt=filt_a)
+    # Value-only settings change (identical shapes) is refused.
+    try:
+        checkpoint.load_state(path, filt_b.init(spec), filt=filt_b)
+        assert False, "should reject mismatched settings fingerprint"
+    except ValueError as e:
+        assert "configuration" in str(e)
+    # Old snapshots without a fingerprint still load (back-compat).
+    checkpoint.save_state(path, state)
+    checkpoint.load_state(path, filt_b.init(spec), filt=filt_b)
+
+
 def test_snapshot_shape_mismatch_rejected(tmp_path):
     filt = StabilizationFilter()
     a = filt.init(FrameSpec(96, 128, 1, PixelFormat.GRAY))

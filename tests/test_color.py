@@ -45,3 +45,27 @@ def test_luma_gray_round_trip(rng):
     g = color.convert(x, PixelFormat.RGB, PixelFormat.GRAY)
     direct = color.luma(x, PixelFormat.RGB)
     np.testing.assert_allclose(np.asarray(g[0]), np.asarray(direct), atol=1e-6)
+
+
+def test_conversion_filter_channel_extraction(rng):
+    """ConversionFilter's output_channels / channel-extraction option
+    (reference ConversionFilter.hpp:29-33): convert then keep one plane."""
+    from livevisionkit_tpu.data.frame import Frame
+    from livevisionkit_tpu.filters.base import ConversionFilter, FrameSpec
+
+    x = _rand_img(rng)
+    frame = Frame.create(x, fmt=PixelFormat.RGB)
+    filt = ConversionFilter(PixelFormat.YUV, extract_channel=0)
+    _, out = filt.step((), frame)
+    assert out.pixels.shape == (1, x.shape[1], x.shape[2])
+    assert out.format is PixelFormat.GRAY
+    want = color.convert(x, PixelFormat.RGB, PixelFormat.YUV)[0]
+    np.testing.assert_allclose(np.asarray(out.pixels[0]), np.asarray(want), atol=1e-6)
+    spec = filt.output_spec(FrameSpec(x.shape[1], x.shape[2], 3, PixelFormat.RGB))
+    assert (spec.channels, spec.format) == (1, PixelFormat.GRAY)
+    # Out-of-range extraction is a configuration error.
+    try:
+        ConversionFilter(PixelFormat.YUV, extract_channel=5).step((), frame)
+        assert False
+    except ValueError:
+        pass

@@ -96,6 +96,75 @@ def test_disabled_filter_passthrough_with_delay(rng):
         )
 
 
+def test_scene_quality_gate_suppresses_correction(monkeypatch, rng):
+    """A persistently LOW-quality scene (tracking works frame-to-frame but
+    with mediocre stability, above the discontinuity threshold yet below
+    min_scene_quality) must drag the scene-quality EMA down and ramp trust ->
+    0, driving the applied correction to identity (reference gate,
+    StabilizationFilter.cpp:103-115, gate at :109)."""
+    from livevisionkit_tpu.filters import stabilization as stab_mod
+    from livevisionkit_tpu.models.warp_field import WarpField
+    from livevisionkit_tpu.vision import frame_tracker
+
+    settings = _settings()
+    real_track = frame_tracker.track
+
+    def mediocre_track(state, luma, cfg):
+        state, result = real_track(state, luma, cfg)
+        # Tracking "works" (ok, above min_tracking_quality 0.3) but the scene
+        # is persistently poor (below min_scene_quality 0.8), with a constant
+        # pan the stabilizer would otherwise correct.
+        pan = WarpField(offsets=jnp.full(result.motion.offsets.shape, 0.02))
+        return state, result.replace(
+            ok=jnp.asarray(True),
+            stability=jnp.asarray(0.5, jnp.float32),
+            motion=pan,
+        )
+
+    monkeypatch.setattr(stab_mod.frame_tracker, "track", mediocre_track)
+
+    base = fixtures.make_texture(320, 320, rng)
+    size = (120, 160)
+    poses, _ = fixtures.shaky_path(40, rng, margin=80.0)
+    filt = StabilizationFilter(settings=settings)
+    spec = FrameSpec(height=size[0], width=size[1], channels=1,
+                     format=PixelFormat.GRAY)
+    state = filt.init(spec)
+    trusts, corrections = [], []
+    for t, p in enumerate(poses):
+        f = fixtures.render_frame(base, p, size)
+        state, _ = filt.step(
+            state, Frame.create(f[None], timestamp=float(t), fmt=PixelFormat.GRAY)
+        )
+        trusts.append(float(state.trust))
+        corrections.append(float(jnp.abs(state.correction.offsets).max()))
+    # EMA (seeded 1.0, rate 0.1) crosses 0.8 after ~5 frames of 0.5-stability;
+    # from there trust only decays, ending pinned at 0.
+    assert trusts[-1] == 0.0
+    assert max(trusts) <= 0.25  # never built meaningful trust
+    # With trust 0 the smoothed path sees identity motions: correction decays
+    # to (near-)identity even though track() keeps reporting a 3 px pan.
+    assert corrections[-1] < 0.05
+    # Control: same scene quality EMA but healthy stability never gates.
+    state2 = filt.init(spec)
+    monkeypatch.setattr(
+        stab_mod.frame_tracker,
+        "track",
+        lambda s, l, c: (
+            mediocre_track(s, l, c)[0],
+            mediocre_track(s, l, c)[1].replace(
+                stability=jnp.asarray(0.95, jnp.float32)
+            ),
+        ),
+    )
+    for t, p in enumerate(poses[:20]):
+        f = fixtures.render_frame(base, p, size)
+        state2, _ = filt.step(
+            state2, Frame.create(f[None], timestamp=float(t), fmt=PixelFormat.GRAY)
+        )
+    assert float(state2.trust) > 0.8
+
+
 def test_trust_drops_on_scene_cut(rng):
     base1 = fixtures.make_texture(320, 320, rng)
     base2 = fixtures.make_texture(320, 320, rng)  # unrelated scene
