@@ -133,6 +133,98 @@ class WarpField(struct.PyTreeNode):
         dx = jnp.clip(self.offsets[1], -limits_x, limits_x)
         return WarpField(offsets=jnp.stack([dy, dx]))
 
+    def scale(self, factors: tuple[float, float] | jax.Array) -> "WarpField":
+        """Append a zoom about the origin (reference WarpMesh::scale,
+        WarpMesh.cpp:370-377): backward sampling at u/s adds
+        u_n * (1/s - 1) to the normalized offsets.  `factors` = (sy, sx)."""
+        hm, wm = self.field_shape
+        sy, sx = factors[0], factors[1]
+        yy = jax.lax.broadcasted_iota(jnp.float32, (hm, wm), 0) / (hm - 1)
+        xx = jax.lax.broadcasted_iota(jnp.float32, (hm, wm), 1) / (wm - 1)
+        return WarpField(
+            offsets=self.offsets
+            + jnp.stack([yy * (1.0 / sy - 1.0), xx * (1.0 / sx - 1.0)])
+        )
+
+    def crop_in(
+        self,
+        tl: tuple[float, float] | jax.Array,
+        region_size: tuple[float, float] | jax.Array,
+    ) -> "WarpField":
+        """Append a crop: the output span maps onto the normalized region
+        [tl, tl + region_size) (reference WarpMesh::crop_in,
+        WarpMesh.cpp:381-392: offset += coord * (region.size - 1)/(size - 1)
+        + region.tl, all in normalized units).  tl/region_size as (y, x)."""
+        hm, wm = self.field_shape
+        yy = jax.lax.broadcasted_iota(jnp.float32, (hm, wm), 0) / (hm - 1)
+        xx = jax.lax.broadcasted_iota(jnp.float32, (hm, wm), 1) / (wm - 1)
+        return WarpField(
+            offsets=self.offsets
+            + jnp.stack(
+                [yy * (region_size[0] - 1.0) + tl[0],
+                 xx * (region_size[1] - 1.0) + tl[1]]
+            )
+        )
+
+    def rotate(self, degrees) -> "WarpField":
+        """Append a rotation of the sampling grid about the field centre in
+        normalized coordinates (reference WarpMesh::rotate,
+        WarpMesh.cpp:396-410: arm = (coord - centre)/size, offset +=
+        R(arm) - arm — note the /size (not size-1) normalization, which we
+        reproduce exactly)."""
+        hm, wm = self.field_shape
+        rad = jnp.deg2rad(jnp.asarray(degrees, jnp.float32))
+        c, s = jnp.cos(rad), jnp.sin(rad)
+        yy = (jax.lax.broadcasted_iota(jnp.float32, (hm, wm), 0) - (hm - 1) / 2) / hm
+        xx = (jax.lax.broadcasted_iota(jnp.float32, (hm, wm), 1) - (wm - 1) / 2) / wm
+        # Reference math is in (x, y): x' = x cos - y sin, y' = x sin + y cos.
+        dx = (xx * c - yy * s) - xx
+        dy = (xx * s + yy * c) - yy
+        return WarpField(offsets=self.offsets + jnp.stack([dy, dx]))
+
+    def covers(
+        self,
+        region_tl: tuple[float, float],
+        region_br: tuple[float, float],
+        size: tuple[int, int],
+    ) -> jax.Array:
+        """Scalar bool: does warping a `size` frame by this field produce
+        valid (in-frame) content over the whole normalized region
+        [region_tl, region_br]?  The crop-validity test (the reference's
+        BoundingQuad::encloses covers only homography warps,
+        BoundingQuad.hpp:27-43; this is the general mesh-warp form).
+
+        Exact for piecewise-bilinear fields: the backward map u + o(u) is
+        bilinear within each mesh cell, so over any axis-aligned rectangle
+        its extremes sit at the rectangle's corner evaluations.  Evaluating
+        the map on the grid of control-point rows/cols CLIPPED to the region
+        (plus the region edges themselves) therefore covers every extreme
+        point of every cell∩region rectangle — all inside <=> covered.
+        """
+        hm, wm = self.field_shape
+        h, w = size
+        y0, x0 = region_tl
+        y1, x1 = region_br
+        # Grid coordinates (normalized): control lines clipped + both edges.
+        ys = jnp.concatenate(
+            [jnp.clip(jnp.arange(hm, dtype=jnp.float32) / (hm - 1), y0, y1),
+             jnp.asarray([y0, y1], jnp.float32)]
+        )
+        xs = jnp.concatenate(
+            [jnp.clip(jnp.arange(wm, dtype=jnp.float32) / (wm - 1), x0, x1),
+             jnp.asarray([x0, x1], jnp.float32)]
+        )
+        gy = ys[:, None] * jnp.ones((1, xs.shape[0]))
+        gx = jnp.ones((ys.shape[0], 1)) * xs[None, :]
+        # Sample offsets at (gy, gx) in field-grid index units.
+        off = remap_ops.bilinear_sample(
+            self.offsets, gy * (hm - 1), gx * (wm - 1), fill=None
+        )
+        sy = (gy + off[0]) * (h - 1)
+        sx = (gx + off[1]) * (w - 1)
+        ok = (sy >= 0.0) & (sy <= h - 1) & (sx >= 0.0) & (sx <= w - 1)
+        return jnp.all(ok)
+
     def magnitude(self) -> jax.Array:
         """Per-point L2 offset magnitude (normalized units)."""
         return jnp.sqrt(jnp.sum(self.offsets**2, axis=0))

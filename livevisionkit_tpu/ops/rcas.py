@@ -42,7 +42,9 @@ def rcas(img: jax.Array, sharpness: float = 0.8) -> jax.Array:
     # Worst case across channels, clamped to the stable range.
     lobe = jnp.clip(jnp.max(lobe_c, axis=0, keepdims=True), -0.1875, 0.0) * sharpness
 
-    out = ((b + d + f + h) * lobe + e) / (4.0 * lobe + 1.0)
+    # One reciprocal on the shared (1, H, W) lobe plane instead of a
+    # 3-channel broadcast division (divisions cost several VPU slots each).
+    out = ((b + d + f + h) * lobe + e) * (1.0 / (4.0 * lobe + 1.0))
 
     # Borders copy through (FSR.cl:484-491).
     _, hh, ww = img.shape

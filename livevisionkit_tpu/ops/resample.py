@@ -210,12 +210,66 @@ def upsample_linear_int(img: jax.Array, factor: tuple[int, int]) -> jax.Array:
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _median_network(n: int) -> tuple[tuple[int, int], ...]:
+    """Compare-exchange network selecting the median of n (odd) values:
+    Batcher's odd-even mergesort network (correct by the 0-1 principle),
+    backward-pruned to the compare-exchanges that can influence output
+    n//2.  For n=25 this yields ~100 CEs vs XLA's serial variadic sort —
+    the difference between 4.2 ms and ~0.2 ms at the deblocker's working
+    resolution (measured, tools/profile_enhance.py)."""
+
+    ces: list[tuple[int, int]] = []
+
+    # Batcher's merge-exchange sorting network (Knuth vol.3 Algorithm 5.2.2M)
+    # — valid for arbitrary n, correct by the 0-1 principle.
+    t = 1
+    while t < n:
+        t *= 2
+    p = t // 2
+    while p >= 1:
+        q, r, d = t // 2, 0, p
+        while d > 0:
+            for i in range(n - d):
+                if (i & p) == r and i + d < n:
+                    ces.append((i, i + d))
+            d, q, r = q - p, q // 2, p
+        p //= 2
+
+    # Backward slice to the median output: walk the network in reverse,
+    # keeping a CE iff one of its wires is still live, and marking both
+    # live when kept.
+    needed = {n // 2}
+    kept: list[tuple[int, int]] = []
+    for a, b in reversed(ces):
+        if a in needed or b in needed:
+            kept.append((a, b))
+            needed.add(a)
+            needed.add(b)
+    return tuple(reversed(kept))
+
+
+def median_select(stack: jax.Array) -> jax.Array:
+    """Median along axis 0 of an odd-length stack via a pruned
+    compare-exchange network — exact (each CE is a min/max pair), all VPU,
+    no sort.  `jnp.median` lowers to XLA's serial variadic sort on TPU,
+    which is ~20x slower at deblocker sizes."""
+    n = stack.shape[0]
+    assert n % 2 == 1, "median_select needs an odd stack"
+    vals = list(stack)
+    for a, b in _median_network(n):
+        lo = jnp.minimum(vals[a], vals[b])
+        hi = jnp.maximum(vals[a], vals[b])
+        vals[a], vals[b] = lo, hi
+    return vals[n // 2]
+
+
 def median_blur(img: jax.Array, ksize: int) -> jax.Array:
     """ksize x ksize median filter (cv::medianBlur), reflect-padded.
 
     Used by the deblocker's smoothing pass (reference
-    Filters/DeblockingFilter.cpp:73-77).  Implemented as a sort over the
-    ksize^2 shifted copies — static shapes, VPU-friendly; ksize is small (5).
+    Filters/DeblockingFilter.cpp:73-77).  The ksize^2 shifted copies feed a
+    median-selection network (see median_select) — static shapes, pure VPU.
     """
     r = ksize // 2
     x = jnp.pad(img, [(0, 0)] * (img.ndim - 2) + [(r, r), (r, r)], mode="reflect")
@@ -230,7 +284,7 @@ def median_blur(img: jax.Array, ksize: int) -> jax.Array:
         ],
         axis=0,
     )
-    return jnp.median(patches, axis=0)
+    return median_select(patches)
 
 
 def avg_pool(img: jax.Array, block: int) -> jax.Array:

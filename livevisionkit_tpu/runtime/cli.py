@@ -154,6 +154,12 @@ def make_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("-L", "--log-csv", help="write frame timings to CSV")
     p.add_argument(
+        "--trace", metavar="DIR",
+        help="capture a jax.profiler device trace into DIR (view with "
+        "TensorBoard/Perfetto); combine with --profile-filters for "
+        "per-filter scopes",
+    )
+    p.add_argument(
         "-C", "--list-encoders", action="store_true",
         help="list available encoders (fourcc) and exit",
     )
@@ -284,10 +290,15 @@ def main(argv: list[str] | None = None) -> int:
                 msg += f"  {pct:5.1f}%  ETA {eta:6.1f}s"
             print(msg, end="", file=sys.stderr, flush=True)
 
-    stats = stream(
-        filt, reader, on_output=on_output, max_frames=args.frames,
-        profile_filters=args.profile_filters, stop_event=stop_event,
-    )
+    from livevisionkit_tpu.utils.profiling import DeviceTrace
+
+    with DeviceTrace(args.trace):
+        stats = stream(
+            filt, reader, on_output=on_output, max_frames=args.frames,
+            profile_filters=args.profile_filters, stop_event=stop_event,
+        )
+    if args.trace:
+        print(f"device trace written to {args.trace}", file=sys.stderr)
 
     elapsed = time.perf_counter() - t_start
     print(file=sys.stderr)

@@ -37,7 +37,7 @@ import numpy as np
 from livevisionkit_tpu.data.frame import Frame
 from livevisionkit_tpu.filters.base import FrameSpec, VideoFilter
 from livevisionkit_tpu.types import PixelFormat
-from livevisionkit_tpu.utils.profiling import Stopwatch
+from livevisionkit_tpu.utils.profiling import Stopwatch, frame_scope, trace_scope
 
 
 @dataclass
@@ -179,22 +179,27 @@ def stream(
                 )
                 state = filt.init(spec)
             stats.frame_time.tick()
-            raw_dev = jax.device_put(jnp.asarray(raw_np))
-            if sub_filters is not None:
-                frame = prep_j(raw_dev, jnp.float32(ts))
-                new_states = []
-                for k, fstep, sub_state in zip(sub_keys, sub_steps, state):
-                    watch = stats.filter_times[k]
-                    watch.start()
-                    sub_state, frame = fstep(sub_state, frame)
-                    jax.block_until_ready(frame.pixels)
-                    watch.stop()
-                    new_states.append(sub_state)
-                state = tuple(new_states)
-                outf = finish_j(frame)
-                out = (outf.pixels, outf.timestamp, outf.valid)
-            else:
-                state, out = step(state, raw_dev, jnp.float32(ts))
+            # frame_scope/trace_scope: hierarchical profiler annotations
+            # (reference LVK_PROFILE, ScopedProfiler.cpp:26-37) — no-ops
+            # unless a jax.profiler trace is active (CLI --trace).
+            with frame_scope(stats.frames_in):
+                raw_dev = jax.device_put(jnp.asarray(raw_np))
+                if sub_filters is not None:
+                    frame = prep_j(raw_dev, jnp.float32(ts))
+                    new_states = []
+                    for k, fstep, sub_state in zip(sub_keys, sub_steps, state):
+                        watch = stats.filter_times[k]
+                        watch.start()
+                        with trace_scope(k):
+                            sub_state, frame = fstep(sub_state, frame)
+                            jax.block_until_ready(frame.pixels)
+                        watch.stop()
+                        new_states.append(sub_state)
+                    state = tuple(new_states)
+                    outf = finish_j(frame)
+                    out = (outf.pixels, outf.timestamp, outf.valid)
+                else:
+                    state, out = step(state, raw_dev, jnp.float32(ts))
             pending.append(out)
             stats.frames_in += 1
             drain(block_all=False)

@@ -95,3 +95,60 @@ class TickTimer:
         self._last = None
         self._acc = 0.0
         self.tick_count = 0
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical device tracing (reference ScopedProfiler / LVK_PROFILE,
+# Modules/OBS-Plugin/Utility/ScopedProfiler.cpp:26-37: RAII scopes feeding a
+# hierarchical profiler).  TPU equivalent: jax.profiler traces — scopes
+# become named trace annotations nested inside a per-frame step annotation,
+# viewable in TensorBoard/Perfetto alongside the XLA device timeline.
+# ---------------------------------------------------------------------------
+
+import contextlib
+
+
+@contextlib.contextmanager
+def trace_scope(name: str):
+    """Named scope on the profiler timeline (LVK_PROFILE equivalent).
+    No-op cost when no trace is active."""
+    import jax
+
+    with jax.profiler.TraceAnnotation(name):
+        yield
+
+
+@contextlib.contextmanager
+def frame_scope(step: int):
+    """Per-frame step annotation: groups all scopes/device ops of one frame
+    under a step marker (the unit the reference's profiler tree roots at)."""
+    import jax
+
+    with jax.profiler.StepTraceAnnotation("frame", step_num=step):
+        yield
+
+
+class DeviceTrace:
+    """Start/stop wrapper over jax.profiler.trace for the CLI --trace flag:
+    captures host annotations + the XLA device timeline into `logdir`
+    (open with TensorBoard's profile plugin or Perfetto)."""
+
+    def __init__(self, logdir: str | None):
+        self.logdir = logdir
+        self._active = False
+
+    def __enter__(self):
+        if self.logdir:
+            import jax
+
+            jax.profiler.start_trace(self.logdir)
+            self._active = True
+        return self
+
+    def __exit__(self, *exc):
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False
+        return False

@@ -77,6 +77,18 @@ def shaky_path(
     return poses, (tx, ty, ang)
 
 
+def render_deformed(
+    base: jnp.ndarray, pose: Homography, defo_yx: jnp.ndarray, size
+):
+    """frame(u) = base(P(u) + d(u)) — a NON-projective scene deformation on
+    top of the camera pose (parallax / rolling-shutter-like), for mesh-mode
+    fixtures.  defo_yx: (2, H, W) texture-px displacement."""
+    from livevisionkit_tpu.ops import remap as remap_ops
+
+    smap = pose.sample_map(size, inverse=False) + defo_yx
+    return remap_ops.remap(base, smap, fill=0.5)
+
+
 def gt_motion(prev_pose: Homography, cur_pose: Homography) -> Homography:
     """Ground-truth frame_{t-1} -> frame_t point mapping."""
     return cur_pose.inverse() @ prev_pose

@@ -1,0 +1,124 @@
+"""Multi-stream end-to-end driver: N decoders -> sharded batch step -> N
+encoders (BASELINE config 5 plumbing), vs the single-stream driver as
+oracle."""
+
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fixtures
+from livevisionkit_tpu.config import (
+    FeatureDetectorSettings,
+    FrameTrackerSettings,
+    PathSmootherSettings,
+    StabilizationFilterSettings,
+)
+from livevisionkit_tpu.filters.base import CompositeFilter
+from livevisionkit_tpu.filters.stabilization import StabilizationFilter
+from livevisionkit_tpu.parallel.streams import make_mesh
+from livevisionkit_tpu.runtime import multistream
+from livevisionkit_tpu.runtime.stream import stream
+
+
+def _filter():
+    return CompositeFilter(
+        filters=(
+            StabilizationFilter(
+                settings=StabilizationFilterSettings(
+                    tracker=FrameTrackerSettings(
+                        detection_size=(60, 80),
+                        detector=FeatureDetectorSettings(
+                            grid_shape=(6, 8), fast_threshold_init=0.06
+                        ),
+                        min_motion_samples=10,
+                    ),
+                    smoother=PathSmootherSettings(predictive_samples=2),
+                )
+            ),
+        )
+    )
+
+
+def _make_clip(rng, n_frames, seed_shift):
+    base = fixtures.make_texture(240, 240, rng)
+    poses, _ = fixtures.shaky_path(n_frames, rng, margin=60.0)
+    clips = []
+    for t, p in enumerate(poses):
+        g = np.asarray(fixtures.render_frame(base, p, (64, 96)))
+        u8 = np.clip(
+            np.stack([g, g * 0.9, np.roll(g, seed_shift, 1)], -1) * 255, 0, 255
+        ).astype(np.uint8)
+        clips.append((u8, t / 30.0))
+    return clips
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_multistream_matches_single_stream(rng, use_mesh):
+    n_streams, n_frames = 4, 12
+    clips = [_make_clip(rng, n_frames, s) for s in range(n_streams)]
+
+    # Oracle: each stream through the single-stream driver independently.
+    want = {}
+    for i, clip in enumerate(clips):
+        outs = []
+        stream(
+            _filter(), iter(clip),
+            on_output=lambda px, ts, o=outs: o.append((px.copy(), ts)),
+        )
+        want[i] = outs
+
+    mesh = make_mesh(n_streams, 1) if use_mesh else None
+    got = {i: [] for i in range(n_streams)}
+    lock = threading.Lock()
+
+    def on_out(i, px, ts):
+        with lock:
+            got[i].append((px.copy(), ts))
+
+    stats = multistream.stream_multi(
+        _filter(), [iter(c) for c in clips], on_output=on_out, mesh=mesh
+    )
+    assert stats.frames_in == n_streams * n_frames
+    # The multistream driver FLUSHES delay queues at termination (the
+    # single-stream driver matches the reference's drop-on-terminate,
+    # VideoFilter.cpp:170-200), so every input frame emits: delay extra
+    # outputs per stream beyond the oracle.
+    assert stats.frames_out == n_streams * n_frames
+    for i in range(n_streams):
+        assert len(want[i]) == n_frames - 2  # delay 2
+        assert len(got[i]) == n_frames
+        for (ga, ta), (wa, twa) in zip(got[i], want[i]):
+            assert abs(ta - twa) < 1e-6
+            np.testing.assert_allclose(ga, wa, atol=2e-5)
+        # Flushed tail carries the last two input frames' timestamps.
+        assert [round(t * 30) for (_, t) in got[i][-2:]] == [10, 11]
+
+
+def test_multistream_uneven_stream_lengths(rng):
+    """A stream ending early leaves bubbles, the others run to completion."""
+    clips = [
+        _make_clip(rng, 6, 0),
+        _make_clip(rng, 12, 1),
+    ]
+    got = {0: [], 1: []}
+    lock = threading.Lock()
+
+    def on_out(i, px, ts):
+        with lock:
+            got[i].append(ts)
+
+    stats = multistream.stream_multi(
+        _filter(), [iter(c) for c in clips], on_output=on_out
+    )
+    assert stats.frames_in == 18
+    # Every input frame emits: the short stream's tail flushes through
+    # bubbles while the long stream still runs, the long stream's tail
+    # through the terminal flush.
+    assert len(got[0]) == 6
+    assert len(got[1]) == 12
+    # Timestamps stay ordered per stream (no bubble leaked out).
+    assert got[0] == sorted(got[0])
+    assert got[1] == sorted(got[1])

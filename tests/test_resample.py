@@ -60,3 +60,29 @@ def test_avg_pool():
     x = jnp.arange(16.0).reshape(4, 4)
     out = resample.avg_pool(x, 2)
     np.testing.assert_allclose(np.asarray(out), [[2.5, 4.5], [10.5, 12.5]])
+
+
+def test_median_select_network_exact(rng):
+    """The pruned Batcher selection network is exactly the median (the
+    deblocker's cv::medianBlur parity depends on it)."""
+    from livevisionkit_tpu.ops.resample import median_select
+
+    for n in (3, 5, 9, 25):
+        x = rng.standard_normal((n, 11, 13)).astype(np.float32)
+        got = np.asarray(median_select(jnp.asarray(x)))
+        np.testing.assert_array_equal(got, np.median(x, axis=0).astype(np.float32))
+
+
+def test_median_blur_matches_jnp_median(rng):
+    from livevisionkit_tpu.ops import resample as rs
+
+    img = jnp.asarray(rng.uniform(size=(2, 18, 22)).astype(np.float32))
+    got = np.asarray(rs.median_blur(img, 5))
+    # Reference formulation: full sort over the 25 shifted planes.
+    r = 2
+    x = jnp.pad(img, ((0, 0), (r, r), (r, r)), mode="reflect")
+    stacks = jnp.stack(
+        [x[:, dy : dy + 18, dx : dx + 22] for dy in range(5) for dx in range(5)]
+    )
+    want = np.asarray(jnp.median(stacks, axis=0))
+    np.testing.assert_array_equal(got, want)
