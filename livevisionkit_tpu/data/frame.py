@@ -22,6 +22,15 @@ TPU-native design decisions (not a port):
   on the host to decide whether to emit.
 * **Timestamps** are float64-free (JAX x64 off): we carry seconds as float32,
   enough for >1 h streams at 60 fps matching precision.
+* **Alpha as a separate plane**: the reference's alpha-bearing formats
+  (VideoFrame.hpp:27-31 RGBA/BGRA; FrameIngest.cpp:38-77 I40A/I42A/YUVA/AYUV)
+  never process alpha — LVK uploads only the colour planes and leaves the
+  alpha plane of the OBS frame untouched.  Here a Frame optionally carries a
+  full-resolution ``alpha`` plane (H, W) so standalone pipelines can preserve
+  it end to end; colour conversion never touches it, shape-changing filters
+  resample it, and the stabilizer warps it together with the colour planes
+  (one shared gather) — strictly more correct than the reference's
+  leave-in-place for compositing use.
 """
 
 from __future__ import annotations
@@ -42,12 +51,15 @@ class Frame(struct.PyTreeNode):
       timestamp: scalar float32 seconds since stream start.
       valid: scalar bool — False during filter warm-up delay (the reference's
         "empty output breaks the chain" protocol, CompositeFilter.cpp:75-80).
+      alpha: optional ``(H, W)`` float32 alpha plane in [0, 1] (None for the
+        common opaque streams; presence is static pytree structure).
       format: static PixelFormat tag (not traced).
     """
 
     pixels: jax.Array
     timestamp: jax.Array
     valid: jax.Array
+    alpha: jax.Array | None = None
     format: PixelFormat = struct.field(pytree_node=False, default=PixelFormat.UNKNOWN)
 
     # ---- metadata ----------------------------------------------------------
@@ -78,6 +90,7 @@ class Frame(struct.PyTreeNode):
         timestamp: float | jax.Array = 0.0,
         fmt: PixelFormat = PixelFormat.RGB,
         valid: bool | jax.Array = True,
+        alpha: jax.Array | None = None,
     ) -> "Frame":
         if pixels.ndim == 2:  # allow (H, W) shorthand for grayscale
             pixels = pixels[None]
@@ -86,13 +99,24 @@ class Frame(struct.PyTreeNode):
             pixels=pixels.astype(jnp.float32),
             timestamp=jnp.asarray(timestamp, jnp.float32),
             valid=jnp.asarray(valid, jnp.bool_),
+            alpha=None if alpha is None else alpha.astype(jnp.float32),
             format=fmt,
         )
 
     def with_pixels(self, pixels: jax.Array, fmt: PixelFormat | None = None) -> "Frame":
         """Metadata-preserving pixel replacement (reference VideoFrame
-        clone/copyTo semantics, Data/VideoFrame.cpp:78-120)."""
-        return self.replace(pixels=pixels, format=self.format if fmt is None else fmt)
+        clone/copyTo semantics, Data/VideoFrame.cpp:78-120).  A carried alpha
+        plane follows resolution changes via bilinear resample, so
+        shape-changing filters (ScalingFilter) preserve it without
+        special-casing."""
+        alpha = self.alpha
+        if alpha is not None and pixels.shape[-2:] != alpha.shape:
+            from livevisionkit_tpu.ops import resample
+
+            alpha = resample.resize(alpha, pixels.shape[-2:], antialias=False)
+        return self.replace(
+            pixels=pixels, alpha=alpha, format=self.format if fmt is None else fmt
+        )
 
     # ---- colour conversion -------------------------------------------------
 

@@ -45,6 +45,9 @@ class FrameSpec:
     width: int
     channels: int = 3
     format: PixelFormat = PixelFormat.RGB
+    # Whether frames carry a separate alpha plane (Frame.alpha) — static
+    # pytree structure, so stateful filters need it to build templates.
+    has_alpha: bool = False
 
     @classmethod
     def of(cls, frame: Frame) -> "FrameSpec":
@@ -53,6 +56,7 @@ class FrameSpec:
             width=frame.width,
             channels=frame.channels,
             format=frame.format,
+            has_alpha=frame.alpha is not None,
         )
 
     @property

@@ -67,6 +67,9 @@ class StabilizationFilter(VideoFilter):
             jnp.zeros((spec.channels, spec.height, spec.width), jnp.float32),
             fmt=spec.format,
             valid=False,
+            alpha=jnp.zeros((spec.height, spec.width), jnp.float32)
+            if spec.has_alpha
+            else None,
         )
         return StabilizerState(
             tracker=frame_tracker.init(s.tracker),
@@ -164,8 +167,19 @@ class StabilizationFilter(VideoFilter):
             warp = correction.compose(
                 self._crop_field(warp.field_shape, delayed.size)
             )
+        out_alpha = delayed.alpha
         if self.enabled or s.crop_output:
-            out_pixels = warp.apply(delayed.pixels, fill=0.0)
+            if out_alpha is None:
+                out_pixels = warp.apply(delayed.pixels, fill=0.0)
+            else:
+                # Warp alpha together with the colour planes: one shared
+                # gather (the reference leaves alpha untouched in the OBS
+                # frame, FrameIngest DirectIngest notes; warping it is the
+                # correct behaviour for standalone compositing output).
+                warped = warp.apply(
+                    jnp.concatenate([delayed.pixels, out_alpha[None]]), fill=0.0
+                )
+                out_pixels, out_alpha = warped[:-1], warped[-1]
         else:
             out_pixels = delayed.pixels
 
@@ -173,6 +187,7 @@ class StabilizationFilter(VideoFilter):
             out_pixels = self._draw_debug(out_pixels, delayed.format, result, warp)
         out = delayed.replace(
             pixels=out_pixels,
+            alpha=out_alpha,
             valid=delayed.valid & queue_full & ready,
         )
         new_state = StabilizerState(

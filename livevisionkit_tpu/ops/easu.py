@@ -283,7 +283,10 @@ def _easu_scale_rational(
     row_groups = []
     for ry in range(phy):
         num_y = 2 * qy * ry + qy - py
-        ppy = jnp.float32((num_y % phy) / phy)
+        # Plain Python float: jnp.float32(...) materializes a traced scalar
+        # under jit in current JAX, so float()-ing it later would break
+        # tracing — and a Python constant folds better anyway.
+        ppy = (num_y % phy) / phy
         y0 = num_y // phy + jax.lax.broadcasted_iota(
             jnp.int32, (ky, 1), 0
         ) * sty  # y0 of row k in this phase
@@ -301,7 +304,7 @@ def _easu_scale_rational(
                 for letter, (dx, dy) in _TAPS.items()
             }  # each (c, ky, kx)
             num_x = 2 * qx * rx + qx - px_
-            ppx = jnp.float32((num_x % phx) / phx)
+            ppx = (num_x % phx) / phx
             x0 = num_x // phx + jax.lax.broadcasted_iota(
                 jnp.int32, (1, kx), 1
             ) * stx
@@ -316,7 +319,7 @@ def _easu_scale_rational(
                     1, psi(rx, dx, px_, qx), stx, kx,
                 )
 
-            fpx, fpy = float(ppx), float(ppy)
+            fpx, fpy = ppx, ppy
             dirx = jnp.zeros((ky, kx), jnp.float32)
             diry, length = dirx, dirx
             for (dx, dy, wgt) in (
@@ -325,10 +328,11 @@ def _easu_scale_rational(
                 (0, 1, (1 - fpx) * fpy),
                 (1, 1, fpx * fpy),
             ):
-                w = jnp.float32(wgt)
-                dirx = dirx + csel(dpx, dx, dy) * w
-                diry = diry + csel(dpy, dx, dy) * w
-                length = length + csel(dpl, dx, dy) * w
+                if wgt == 0.0:
+                    continue
+                dirx = dirx + csel(dpx, dx, dy) * wgt
+                diry = diry + csel(dpy, dx, dy) * wgt
+                length = length + csel(dpl, dx, dy) * wgt
 
             val = jnp.where(
                 ok, _easu_filter(px, dirx, diry, length, ppx, ppy), px["f"]

@@ -12,7 +12,8 @@ import enum
 class PixelFormat(enum.Enum):
     """Colour format tag. Mirrors lvk::VideoFrame::Format
     (reference Data/VideoFrame.hpp:27-31) minus the BGRA/RGBA alpha variants:
-    alpha is carried as an optional extra plane instead."""
+    alpha is carried as `Frame.alpha`, a separate optional full-resolution
+    plane (see runtime/ingest.py upload_rgba/upload_ayuv/upload_i40a)."""
 
     RGB = "rgb"
     BGR = "bgr"
