@@ -358,6 +358,24 @@ def _easu_scale_rational(
     return out[0] if squeeze else out
 
 
+def _pallas_scale_eligible(py, qy, px_, qx, h, w) -> bool:
+    """Integer 2x upscales of large even TPU frames take the fused Pallas
+    kernel (ops/tpu_kernels/easu_scale.py).  Override with LVK_EASU=
+    xla|pallas (pallas forces interpret off-TPU only via tests)."""
+    import os
+
+    force = os.environ.get("LVK_EASU", "").lower()
+    if force == "xla":
+        return False
+    ok = (
+        qy == qx == 1 and py == px_ == 2
+        and h % 2 == 0 and w % 2 == 0 and h >= 64 and w >= 64
+    )
+    if force == "pallas":
+        return ok
+    return ok and jax.default_backend() == "tpu" and h >= 512 and w >= 512
+
+
 def easu_scale(
     img: jax.Array, out_size: tuple[int, int], fmt: PixelFormat = PixelFormat.YUV
 ) -> jax.Array:
@@ -377,6 +395,12 @@ def easu_scale(
     gy, gx = math.gcd(oh, h), math.gcd(ow, w)
     py, qy = oh // gy, h // gy
     px_, qx = ow // gx, w // gx
+    if _pallas_scale_eligible(py, qy, px_, qx, h, w):
+        from livevisionkit_tpu.ops.tpu_kernels import easu_scale as pes
+
+        return pes.pallas_easu_up(
+            img, p=py, fmt=fmt, interpret=jax.default_backend() != "tpu"
+        )
     if max(py, px_) <= 8 and py >= qy and px_ >= qx:
         return _easu_scale_rational(img, out_size, fmt, py, qy, px_, qx)
 

@@ -1,0 +1,59 @@
+"""Pallas EASU-upscale + RCAS kernels vs the XLA oracles (interpret mode).
+
+Reference: FSR.cl:324-358 (easu_scale), :460-537 (rcas); the XLA forms in
+ops/easu.py / ops/rcas.py are themselves oracle-tested, so matching them
+transitively matches the reference numerics.
+"""
+
+import numpy as np
+
+import fixtures
+from livevisionkit_tpu.ops import easu, rcas
+from livevisionkit_tpu.ops.tpu_kernels import easu_scale as pes
+from livevisionkit_tpu.ops.tpu_kernels import rcas as prcas
+from livevisionkit_tpu.types import PixelFormat
+
+import jax.numpy as jnp
+
+
+def test_easu_up2_matches_rational(rng):
+    img = jnp.asarray(
+        np.stack([np.asarray(fixtures.make_texture(64, 96, rng))] * 3)
+    )
+    ref = easu.easu_scale(img, (128, 192), fmt=PixelFormat.YUV)
+    got = pes.pallas_easu_up(img, p=2, fmt=PixelFormat.YUV, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_easu_up2_rgb_luma_path(rng):
+    img = jnp.asarray(rng.uniform(0, 1, (3, 64, 64)).astype(np.float32))
+    ref = easu.easu_scale(img, (128, 128), fmt=PixelFormat.RGB)
+    got = pes.pallas_easu_up(img, p=2, fmt=PixelFormat.RGB, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_easu_dispatch_override(rng, monkeypatch):
+    """LVK_EASU=pallas routes easu_scale through the kernel off-TPU
+    (interpreted); =xla keeps the rational path."""
+    img = jnp.asarray(rng.uniform(0, 1, (3, 64, 96)).astype(np.float32))
+    monkeypatch.setenv("LVK_EASU", "xla")
+    ref = easu.easu_scale(img, (128, 192), fmt=PixelFormat.YUV)
+    monkeypatch.setenv("LVK_EASU", "pallas")
+    got = easu.easu_scale(img, (128, 192), fmt=PixelFormat.YUV)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_rcas_matches_xla(rng):
+    img = jnp.asarray(rng.uniform(0, 1, (3, 100, 150)).astype(np.float32))
+    ref = rcas.rcas(img, 0.8)
+    got = prcas.pallas_rcas(img, sharpness=0.8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_rcas_dispatch_override(rng, monkeypatch):
+    img = jnp.asarray(rng.uniform(0, 1, (1, 300, 300)).astype(np.float32))
+    monkeypatch.setenv("LVK_RCAS", "xla")
+    ref = rcas.rcas(img, 0.5)
+    monkeypatch.setenv("LVK_RCAS", "pallas")
+    got = rcas.rcas(img, 0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
