@@ -60,6 +60,9 @@ def _build(filt, spec_cls, frame_cls, fmt):
 def main() -> None:
     import livevisionkit_tpu as lvk
     from __graft_entry__ import _flagship_filter
+    from livevisionkit_tpu.utils import compile_cache
+
+    compile_cache.enable_default()
 
     filt = _flagship_filter()
     state0, scan_n = _build(filt, lvk.FrameSpec, lvk.Frame, lvk.PixelFormat.YUV)

@@ -94,7 +94,17 @@ class MeshMotionSettings:
     :274-276)."""
 
     rigidity_weight: float = 1.0  # first-difference smoothness
-    temporal_weight: float = 0.05  # pull toward the warm-start mesh
+    # Pull toward the PREVIOUS frame's mesh (the reference's temporal-
+    # smoothing constraints + warm start, FrameTracker.cpp:274-276,:380-457):
+    # bounds frame-to-frame flicker on weakly-constrained regions.  The
+    # per-node weight is temporal_weight / (1 + (s / s0)^2) with s the
+    # node's feature support and s0 = temporal_support_scale, so tracked
+    # nodes follow the data while unsupported nodes hold to the past.
+    temporal_weight: float = 0.5
+    temporal_support_scale: float = 0.25
+    # Pull toward the per-frame global (homography) fit: anchors untextured
+    # nodes on the dominant camera motion.
+    global_weight: float = 0.05
     cg_iterations: int = 24
     irls_rounds: int = 2
     inlier_threshold_px: float = 3.0

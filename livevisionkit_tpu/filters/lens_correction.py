@@ -16,6 +16,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any
 
+import jax.numpy as jnp
+
 from livevisionkit_tpu.data.frame import Frame
 from livevisionkit_tpu.filters.base import FrameSpec, VideoFilter
 from livevisionkit_tpu.models.warp_field import WarpField
@@ -37,4 +39,12 @@ class LensCorrectionFilter(VideoFilter):
 
     def step(self, state: Any, frame: Frame) -> tuple[Any, Frame]:
         field: WarpField = state
-        return state, frame.with_pixels(field.apply(frame.pixels, fill=0.0))
+        if frame.alpha is None:
+            return state, frame.with_pixels(field.apply(frame.pixels, fill=0.0))
+        # Alpha follows the colour geometry (data/frame.py contract): undistort
+        # it in the same gather as the colour planes, like the stabilizer's
+        # corrective warp does.
+        warped = field.apply(
+            jnp.concatenate([frame.pixels, frame.alpha[None]]), fill=0.0
+        )
+        return state, frame.replace(pixels=warped[:-1], alpha=warped[-1])

@@ -358,13 +358,15 @@ def _easu_scale_rational(
     return out[0] if squeeze else out
 
 
-def _pallas_scale_eligible(py, qy, px_, qx, h, w) -> bool:
+def _pallas_scale_eligible(py, qy, px_, qx, h, w, force: str | None) -> bool:
     """Integer 2x upscales of large even TPU frames take the fused Pallas
-    kernel (ops/tpu_kernels/easu_scale.py).  Override with LVK_EASU=
-    xla|pallas (pallas forces interpret off-TPU only via tests)."""
+    kernel (ops/tpu_kernels/easu_scale.py).  `force` ("xla" | "pallas",
+    None -> LVK_EASU env var) is trace-time: inside jit the choice is baked
+    into the compiled executable, so pass it explicitly (or set the env var
+    before the first compile), not mid-run."""
     import os
 
-    force = os.environ.get("LVK_EASU", "").lower()
+    force = (os.environ.get("LVK_EASU", "") if force is None else force).lower()
     if force == "xla":
         return False
     ok = (
@@ -377,7 +379,10 @@ def _pallas_scale_eligible(py, qy, px_, qx, h, w) -> bool:
 
 
 def easu_scale(
-    img: jax.Array, out_size: tuple[int, int], fmt: PixelFormat = PixelFormat.YUV
+    img: jax.Array,
+    out_size: tuple[int, int],
+    fmt: PixelFormat = PixelFormat.YUV,
+    force: str | None = None,
 ) -> jax.Array:
     """EASU upscale to `out_size` (reference easu_scale, FSR.cl:324-358):
     sample positions follow the half-pixel convention
@@ -395,7 +400,7 @@ def easu_scale(
     gy, gx = math.gcd(oh, h), math.gcd(ow, w)
     py, qy = oh // gy, h // gy
     px_, qx = ow // gx, w // gx
-    if _pallas_scale_eligible(py, qy, px_, qx, h, w):
+    if _pallas_scale_eligible(py, qy, px_, qx, h, w, force):
         from livevisionkit_tpu.ops.tpu_kernels import easu_scale as pes
 
         return pes.pallas_easu_up(

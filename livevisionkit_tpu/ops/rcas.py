@@ -18,11 +18,10 @@ import jax
 import jax.numpy as jnp
 
 
-def _pallas_eligible(h: int, w: int) -> bool:
+def _pallas_eligible(h: int, w: int, force: str | None) -> bool:
     """Large TPU frames take the single-pass Pallas kernel (the XLA stencil
-    re-reads the shifted views from HBM: 3.1 ms vs ~0.6 ms at 4K).  Override
-    with LVK_RCAS=xla|pallas."""
-    force = os.environ.get("LVK_RCAS", "").lower()
+    re-reads the shifted views from HBM: 3.1 ms vs ~0.6 ms at 4K)."""
+    force = (os.environ.get("LVK_RCAS", "") if force is None else force).lower()
     if force == "xla":
         return False
     if force == "pallas":
@@ -30,13 +29,20 @@ def _pallas_eligible(h: int, w: int) -> bool:
     return jax.default_backend() == "tpu" and h >= 256 and w >= 256
 
 
-def rcas(img: jax.Array, sharpness: float = 0.8) -> jax.Array:
-    """Sharpen (C, H, W) or (H, W) planes. `sharpness` in [0, 1]."""
+def rcas(img: jax.Array, sharpness: float = 0.8, force: str | None = None) -> jax.Array:
+    """Sharpen (C, H, W) or (H, W) planes. `sharpness` in [0, 1].
+
+    `force` picks the implementation ("xla" | "pallas"); None falls back to
+    the LVK_RCAS env var.  The choice is trace-time: inside a jitted step it
+    is baked into the compiled executable, so pass it explicitly (or set the
+    env var before the first compile) rather than mutating the environment
+    mid-run.
+    """
     squeeze = img.ndim == 2
     if squeeze:
         img = img[None]
 
-    if _pallas_eligible(img.shape[-2], img.shape[-1]):
+    if _pallas_eligible(img.shape[-2], img.shape[-1], force):
         from livevisionkit_tpu.ops.tpu_kernels import rcas as pallas_rcas_mod
 
         out = pallas_rcas_mod.pallas_rcas(

@@ -11,7 +11,10 @@ re-warming the smoothing window.
 
 from __future__ import annotations
 
+import dataclasses
+import enum
 import hashlib
+import struct
 from typing import Any
 
 import jax
@@ -19,15 +22,62 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _canonical(obj: Any, out: list) -> None:
+    """Flatten a settings object into a canonical token stream.
+
+    Dataclasses contribute their type name plus every (field-name, value)
+    pair in definition order; floats are serialized as their exact IEEE-754
+    bits (repr round-trip quirks can't alias two distinct values or split one
+    value into two spellings); enums by class+member name.  Anything else
+    falls back to type-tagged repr, which is stable for str/int/bool/None.
+    """
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        out.append(f"<{type(obj).__qualname__}")
+        for f in dataclasses.fields(obj):
+            out.append(f.name + "=")
+            _canonical(getattr(obj, f.name), out)
+        out.append(">")
+    elif isinstance(obj, enum.Enum):
+        out.append(f"E:{type(obj).__qualname__}.{obj.name}")
+    elif isinstance(obj, bool):  # before int: bool is an int subclass
+        out.append(f"b:{obj}")
+    elif isinstance(obj, float):
+        out.append("f:" + struct.pack("<d", obj).hex())
+    elif isinstance(obj, int):
+        out.append(f"i:{obj}")
+    elif isinstance(obj, (list, tuple)):
+        out.append("[" if isinstance(obj, list) else "(")
+        for item in obj:
+            _canonical(item, out)
+        out.append("]" if isinstance(obj, list) else ")")
+    elif isinstance(obj, dict):
+        out.append("{")
+        for k in sorted(obj, key=repr):
+            _canonical(k, out)
+            out.append(":")
+            _canonical(obj[k], out)
+        out.append("}")
+    elif isinstance(obj, (np.ndarray, jax.Array)):
+        arr = np.asarray(obj)
+        out.append(f"a:{arr.dtype}:{arr.shape}:" + arr.tobytes().hex())
+    else:
+        out.append(f"{type(obj).__qualname__}:{obj!r}")
+
+
 def settings_fingerprint(filt: Any) -> str:
-    """Stable hash of a filter's full configuration (the frozen-dataclass
-    tree reprs deterministically: field order is class-definition order).
+    """Stable hash of a filter's full configuration: a canonical walk of the
+    frozen-dataclass tree (type names + field names + IEEE-bit-exact values,
+    in class-definition order).
 
     Guards resume against a silently different configuration whose state
     happens to have matching leaf shapes (e.g. a retuned threshold): shapes
-    alone can't catch value-only settings changes.
+    alone can't catch value-only settings changes.  Unlike a plain repr()
+    hash, this is robust to float repr round-trip quirks and to settings
+    objects whose repr omits fields.
     """
-    return hashlib.sha256(repr(filt).encode()).hexdigest()[:16]
+    tokens: list = []
+    _canonical(filt, tokens)
+    return hashlib.sha256("\x00".join(tokens).encode()).hexdigest()[:16]
 
 
 def save_state(path: str, state: Any, filt: Any | None = None) -> None:

@@ -175,6 +175,12 @@ def make_parser() -> argparse.ArgumentParser:
         "-u", "--update-period", type=float, default=0.5,
         help="progress update period seconds",
     )
+    p.add_argument(
+        "--compile-cache", metavar="DIR",
+        help="persistent XLA compilation cache directory (default: "
+        "$LVK_COMPILE_CACHE if set); cuts cold-start compile from minutes "
+        "to seconds on repeat runs",
+    )
     return p
 
 
@@ -200,6 +206,10 @@ def main(argv: list[str] | None = None) -> int:
 
     argv = expand_profile(list(sys.argv[1:] if argv is None else argv))
     args = make_parser().parse_args(argv)
+
+    from livevisionkit_tpu.utils import compile_cache
+
+    compile_cache.enable(args.compile_cache)
 
     # SIGINT -> graceful stop: drain in-flight frames and finalize the output
     # file instead of dying mid-write (reference Application.cpp:45-52).
@@ -321,14 +331,27 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
     if args.log_csv:
+        # Aggregate run metrics followed by per-filter average ± deviation
+        # rows (the reference's -L CSV timing log writes one avg/dev block
+        # per filter, VideoProcessor.cpp:312-356; per-filter rows need
+        # --profile-filters since unsynced filters aren't individually
+        # timeable inside one fused device program).
         with open(args.log_csv, "w", newline="") as f:
             wr = csv_mod.writer(f)
-            wr.writerow(["metric", "value"])
-            wr.writerow(["frames_in", stats.frames_in])
-            wr.writerow(["frames_out", stats.frames_out])
-            wr.writerow(["avg_frame_ms", f"{stats.frame_time.average_ms():.4f}"])
-            wr.writerow(["dev_frame_ms", f"{stats.frame_time.deviation_ms():.4f}"])
-            wr.writerow(["wall_s", f"{elapsed:.4f}"])
+            wr.writerow(["metric", "name", "avg_ms", "dev_ms", "count"])
+            wr.writerow(["frames_in", "", "", "", stats.frames_in])
+            wr.writerow(["frames_out", "", "", "", stats.frames_out])
+            wr.writerow(["wall_s", "", f"{elapsed:.4f}", "", ""])
+            ft = stats.frame_time
+            wr.writerow([
+                "frame_time", "<total>", f"{ft.average_ms():.4f}",
+                f"{ft.deviation_ms():.4f}", ft.count,
+            ])
+            for name, watch in stats.filter_times.items():
+                wr.writerow([
+                    "filter_time", name, f"{watch.average_ms():.4f}",
+                    f"{watch.deviation_ms():.4f}", watch.count,
+                ])
     if writer is not None:
         writer.close()
     reader.close()

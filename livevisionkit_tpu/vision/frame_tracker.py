@@ -47,12 +47,19 @@ class TrackerState(struct.PyTreeNode):
     thresholds: jax.Array
     has_prev: jax.Array
     key: jax.Array
+    # Previous frame's LOCAL mesh residual (solved mesh minus its global
+    # fit; zeros before the first successful solve): CG warm start +
+    # temporal-coherence pull target (reference FrameTracker.cpp:274-276;
+    # see mesh_motion.estimate for why only the local part carries over).
+    prev_mesh: jax.Array  # (2, hm, wm) normalized offsets
+    has_prev_mesh: jax.Array  # bool
 
 
 def init(settings: FrameTrackerSettings) -> TrackerState:
     h, w = settings.detection_size
     zero = jnp.zeros((h, w), jnp.float32)
     g = settings.detector.max_features
+    hm, wm = settings.motion_resolution
     return TrackerState(
         pyramid=Pyramid.build(zero, settings.flow.pyramid_levels),
         features=FeatureGrid(
@@ -63,6 +70,8 @@ def init(settings: FrameTrackerSettings) -> TrackerState:
         thresholds=features_mod.initial_thresholds(settings.detector),
         has_prev=jnp.asarray(False),
         key=jax.random.key(0),
+        prev_mesh=jnp.zeros((2, hm, wm), jnp.float32),
+        has_prev_mesh=jnp.asarray(False),
     )
 
 
@@ -113,19 +122,26 @@ def track(
         )
     else:
         # Mesh mode (estimate_local_motions, FrameTracker.cpp:200-321):
-        # warm-start from the global fit, solve the local field on top.
-        warm = WarpField.from_homography(
+        # the global fit anchors the solve; the CG warm-starts from — and is
+        # temporally smoothed toward — the previous frame's mesh
+        # (FrameTracker.cpp:274-276), zero-weighted until one exists.
+        glob = WarpField.from_homography(
             est.homography, settings.motion_resolution, det_size
         )
         motion, _, _ = mesh_motion.estimate(
             state.features.points,
             new_pts,
             tracked.astype(jnp.float32),
-            warm,
+            glob,
             det_size,
             settings.mesh,
+            prev_local=WarpField(offsets=state.prev_mesh),
+            prev_weight_scale=state.has_prev_mesh.astype(jnp.float32),
         )
+        local_residual = motion.offsets - glob.offsets
     identity = WarpField.identity(settings.motion_resolution)
+    if tuple(settings.motion_resolution) == (2, 2):
+        local_residual = jnp.zeros_like(identity.offsets)
     motion = WarpField(
         offsets=jnp.where(ok, motion.offsets, identity.offsets)
     )
@@ -158,5 +174,10 @@ def track(
         thresholds=thresholds,
         has_prev=jnp.asarray(True),
         key=key,
+        # Gated on ok (zero local residual on failure): after a tracking
+        # discontinuity the next solve re-anchors on its global fit,
+        # mirroring the reference's restart semantics.
+        prev_mesh=jnp.where(ok, local_residual, jnp.zeros_like(local_residual)),
+        has_prev_mesh=ok,
     )
     return new_state, result

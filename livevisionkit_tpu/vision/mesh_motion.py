@@ -103,17 +103,38 @@ def estimate(
     src: jax.Array,  # (N, 2) previous-frame points, detection px
     dst: jax.Array,  # (N, 2) tracked points
     weights: jax.Array,  # (N,) confidence in [0, 1] (0 = unmatched)
-    warm_start: WarpField,  # e.g. global-motion field or previous mesh
+    global_fit: WarpField,  # global-motion (homography) field
     size: tuple[int, int],  # detection frame size (h, w)
     settings: MeshMotionSettings,
+    prev_local: WarpField | None = None,  # previous mesh MINUS its global fit
+    prev_weight_scale: jax.Array | float = 1.0,  # 0 disables (first frame)
 ) -> tuple[WarpField, jax.Array, jax.Array]:
     """Fit the mesh. Returns (field, inliers, mean_residual_px).
 
     The solved offsets live at the tracked (current-frame) positions and
     point back toward the previous frame: o(dst) = src - dst — the same
     backward convention as WarpField.from_homography.
+
+    Two separate regularization pulls (reference FrameTracker.cpp:274-276 +
+    generate_mesh_constraints :380-457: the CG warm-starts from and smooths
+    toward the PREVIOUS mesh, while the global fit anchors the solution):
+
+      * ``settings.temporal_weight`` toward ``global_fit + prev_local``
+        (frame-to-frame coherence of the LOCAL deformation — bounds flicker
+        on weakly-constrained regions).  The reference pulls toward the raw
+        previous mesh; pulling only the local residual is the TPU redesign's
+        refinement: per-frame camera shake is white noise that the global
+        fit already tracks, while the local (parallax/structure) part is
+        what persists between frames — so the pull damps solve noise
+        without lagging real camera motion.  `prev_weight_scale` zeroes the
+        term on the first frame under jit.
+      * ``settings.global_weight`` toward `global_fit` (keeps untextured
+        nodes on the dominant camera motion).
+
+    The CG warm-starts from the temporal target when it carries weight,
+    else from the global fit.
     """
-    hm, wm = warm_start.field_shape
+    hm, wm = global_fit.field_shape
     h, w = size
     nodes = hm * wm
     scale = jnp.array([h - 1, w - 1], jnp.float32).reshape(2, 1, 1)
@@ -122,25 +143,55 @@ def estimate(
     # Observed backward displacement (dy, dx) in px.
     d_obs = jnp.stack([src[:, 1] - dst[:, 1], src[:, 0] - dst[:, 0]], axis=-1)
 
-    x0 = warm_start.offsets * scale  # solve in px units
-    lam_t = settings.temporal_weight
+    x_glob = global_fit.offsets * scale  # solve in px units
+    lam_g = settings.global_weight
     lam_r = settings.rigidity_weight
+    if prev_local is None:
+        lam_t = jnp.float32(0.0)
+        x_tgt = x_glob
+        x0 = x_glob
+    else:
+        lam_t = settings.temporal_weight * jnp.asarray(
+            prev_weight_scale, jnp.float32
+        )
+        x_tgt = x_glob + prev_local.offsets * scale
+        # Warm start from the temporal target when it carries weight, else
+        # from the global fit.
+        x0 = jnp.where(lam_t > 0, x_tgt, x_glob)
 
-    def normal_op(x, wf):
-        """A^T W A x for the stacked system (feature + rigidity + temporal)."""
+    def temporal_diag(wf):
+        """Per-node temporal weight lam_t / (1 + (s / s0)^2), where s is the
+        node's feature support (the diagonal of the feature normal matrix,
+        sum_i wf_i w4_ik^2).  The reference applies a CONSTANT temporal
+        weight (FrameTracker.cpp:398-401) and relies on its dense feature
+        grid to dominate it; with fixed-capacity feature grids the adaptive
+        form gives the same two regimes explicitly: well-tracked nodes
+        follow the data (no motion lag), unsupported nodes are held by the
+        previous mesh (no flicker)."""
+        s0 = settings.temporal_support_scale
+        s = jax.ops.segment_sum(
+            (wf[:, None] * w4 * w4).reshape(-1),
+            idx.reshape(-1),
+            num_segments=nodes,
+        ).reshape(1, hm, wm)
+        return lam_t / (1.0 + (s / s0) ** 2)
+
+    def normal_op(x, wf, lam_tn):
+        """A^T W A x for the stacked system
+        (feature + rigidity + temporal + global)."""
         feat = _scatter(_sample(x, idx, w4) * wf[:, None], idx, w4, nodes).reshape(
             2, hm, wm
         )
         rig = lam_r * (_diff_h_t(_diff_h(x)) + _diff_v_t(_diff_v(x)))
-        return feat + rig + lam_t * x
+        return feat + rig + lam_tn * x + lam_g * x
 
-    def rhs(wf):
+    def rhs(wf, lam_tn):
         feat = _scatter(d_obs * wf[:, None], idx, w4, nodes).reshape(2, hm, wm)
-        return feat + lam_t * x0
+        return feat + lam_tn * x_tgt + lam_g * x_glob
 
-    def cg_solve(b, wf, x_init):
+    def cg_solve(b, wf, lam_tn, x_init):
         def mv(v):
-            return normal_op(v, wf)
+            return normal_op(v, wf, lam_tn)
 
         x = x_init
         r = b - mv(x)
@@ -168,7 +219,8 @@ def estimate(
     x = x0
     wf = weights
     for _ in range(settings.irls_rounds):
-        x = cg_solve(rhs(wf), wf, x)
+        lam_tn = temporal_diag(wf)
+        x = cg_solve(rhs(wf, lam_tn), wf, lam_tn, x)
         res = _sample(x, idx, w4) - d_obs  # (N, 2)
         err2 = jnp.sum(res * res, axis=-1)
         wf = weights * jnp.maximum(0.0, 1.0 - err2 / (tau * tau))

@@ -45,58 +45,9 @@ def _assert_cpu():
 
 
 # ---------------------------------------------------------------------------
-# Fast tier: `pytest -m "not slow"` runs in ~2-3 min; the full suite is
-# ~22 min on the virtual CPU mesh.  Slow entries measured with
-# `pytest --durations=50` (anything >= ~5 s lands here); whole modules are
-# listed when every test in them is dominated by sharded/jit compile time.
+# Fast tier: `pytest -m "not slow"`; the full suite takes ~20-25 min on the
+# virtual CPU mesh.  Slow tests carry @pytest.mark.slow AT THE TEST SITE
+# (whole modules use a module-level `pytestmark`) so new tests must opt in
+# explicitly and stale entries can't hide — measured with
+# `pytest --durations=50`, anything >= ~5 s belongs in the slow tier.
 # ---------------------------------------------------------------------------
-
-_SLOW_MODULES = {
-    "test_distributed_solve",
-    "test_mesh_trajectory",
-    "test_multistream",
-    "test_multihost",
-    "test_spatial_sharding",
-    "test_offline_sharded",
-    "test_parallel",
-    "test_pallas_warp",
-    "test_pallas_lk",
-    "test_mesh_motion",
-    "test_trajectory",
-}
-
-_SLOW_TESTS = {
-    "test_stabilizer_warps_alpha_with_pixels",
-    "test_scene_quality_gate_suppresses_correction",
-    "test_trust_drops_on_scene_cut",
-    "test_stabilizer_reduces_jitter",
-    "test_easu_scale_rational_paths_match_oracle",
-    "test_easu_matches_between_remap_and_scale",
-    "test_deblocker_smooths_blocky_regions",
-    "test_scaling_filter_shapes",
-    "test_easu_scale_smooth_gradient",
-    "test_easu_dering_bounds",
-    "test_tracker_recovers_known_translation",
-    "test_tracker_jit_scan",
-    "test_tracker_flags_flat_scene",
-    "test_snapshot_resume_identical",
-    "test_cli_end_to_end",
-    "test_stream_stabilizer_delay_and_order",
-    "test_homography_with_outliers",
-    "test_too_few_points_not_ok",
-    "test_undistort_field_straightens_lines",
-    "test_lk_flat_region_rejected",
-    "test_lk_matches_opencv",
-    "test_scaling_resamples_alpha",
-    "test_detect_grid_capacity_and_validity",
-    "test_fast_detects_square_corners",
-    "test_output_trajectory_smoother_and_closer_to_ideal",
-}
-
-
-def pytest_collection_modifyitems(config, items):
-    for item in items:
-        mod = item.module.__name__.rsplit(".", 1)[-1]
-        name = item.name.split("[")[0]
-        if mod in _SLOW_MODULES or name in _SLOW_TESTS:
-            item.add_marker(pytest.mark.slow)

@@ -7,6 +7,7 @@ download; here alpha rides Frame.alpha end to end, including through the
 stabilizer's warp.
 """
 
+import pytest
 import numpy as np
 
 import fixtures
@@ -79,6 +80,7 @@ def test_reformat_and_extraction_preserve_alpha(rng):
     np.testing.assert_array_equal(np.asarray(g.alpha), np.asarray(f.alpha))
 
 
+@pytest.mark.slow
 def test_scaling_resamples_alpha(rng):
     from livevisionkit_tpu.config import ScalingFilterSettings
     from livevisionkit_tpu.filters.scaling import ScalingFilter
@@ -98,6 +100,7 @@ def test_scaling_resamples_alpha(rng):
     np.testing.assert_allclose(np.asarray(out2.alpha), 1.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_stabilizer_warps_alpha_with_pixels(rng):
     """Alpha must ride the same corrective warp as the colour planes: feed a
     stream whose luma plane equals its alpha plane and check they remain

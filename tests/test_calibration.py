@@ -1,5 +1,6 @@
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from livevisionkit_tpu.data.frame import Frame, PixelFormat
 from livevisionkit_tpu.filters.lens_correction import LensCorrectionFilter
@@ -52,6 +53,7 @@ def test_calibrate_recovers_intrinsics(rng):
     assert abs(est.k1 - GT.k1) < 0.05
 
 
+@pytest.mark.slow
 def test_undistort_field_straightens_lines():
     # A distorted image of a straight vertical line: after undistortion the
     # line's x coordinate should be ~constant.  Build the distorted frame by
@@ -92,6 +94,22 @@ def test_lens_correction_filter_runs(rng):
     )
     _, out = filt.step(state, frame)
     assert out.pixels.shape == (1,) + SIZE
+
+
+def test_lens_correction_warps_alpha_with_pixels(rng):
+    """Alpha must follow the colour geometry through the undistort warp
+    (the alpha contract in data/frame.py): warping a copy of the luma plane
+    as alpha must land exactly on the undistorted luma."""
+    filt = LensCorrectionFilter(parameters=GT)
+    spec = FrameSpec(SIZE[0], SIZE[1], 1, PixelFormat.GRAY, has_alpha=True)
+    state = filt.init(spec)
+    pix = jnp.asarray(rng.uniform(size=(1,) + SIZE).astype(np.float32))
+    frame = Frame.create(pix, fmt=PixelFormat.GRAY, alpha=pix[0])
+    _, out = filt.step(state, frame)
+    assert out.alpha is not None
+    np.testing.assert_allclose(
+        np.asarray(out.alpha), np.asarray(out.pixels[0]), atol=1e-6
+    )
 
 
 def _render_board(pose_h, pattern=(9, 6), square=24, size=(240, 320)):

@@ -1,5 +1,6 @@
 """Stream-state snapshot/resume round trip."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -18,6 +19,7 @@ from livevisionkit_tpu.filters.base import FrameSpec
 from livevisionkit_tpu.runtime import checkpoint
 
 
+@pytest.mark.slow
 def test_snapshot_resume_identical(rng, tmp_path):
     filt = StabilizationFilter(
         settings=StabilizationFilterSettings(
@@ -87,6 +89,31 @@ def test_snapshot_settings_hash_rejected(tmp_path):
     # Old snapshots without a fingerprint still load (back-compat).
     checkpoint.save_state(path, state)
     checkpoint.load_state(path, filt_b.init(spec), filt=filt_b)
+
+
+def test_fingerprint_canonical_not_repr():
+    """The fingerprint walks dataclasses.fields, not repr(): it must change
+    for a field whose repr is suppressed, and be identical for independently
+    constructed equal configurations."""
+    import dataclasses
+
+    @dataclasses.dataclass(frozen=True, repr=False)
+    class Hidden:
+        threshold: float = 0.5
+
+        def __repr__(self):  # deliberately state-free repr
+            return "Hidden()"
+
+    a, b = Hidden(0.5), Hidden(0.75)
+    assert repr(a) == repr(b)
+    assert checkpoint.settings_fingerprint(a) != checkpoint.settings_fingerprint(b)
+    assert checkpoint.settings_fingerprint(a) == checkpoint.settings_fingerprint(
+        Hidden(0.5)
+    )
+    # Identical rebuild of a real filter fingerprints identically.
+    assert checkpoint.settings_fingerprint(
+        StabilizationFilter()
+    ) == checkpoint.settings_fingerprint(StabilizationFilter())
 
 
 def test_snapshot_shape_mismatch_rejected(tmp_path):

@@ -1,5 +1,6 @@
 """Distributed mesh solve == single-device solve, on the virtual 8-dev mesh."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,6 +10,8 @@ from livevisionkit_tpu.config import MeshMotionSettings
 from livevisionkit_tpu.models.warp_field import WarpField
 from livevisionkit_tpu.parallel import distributed_solve
 from livevisionkit_tpu.vision import mesh_motion
+
+pytestmark = pytest.mark.slow  # whole module: sharded/jit-compile dominated
 
 SIZE = (96, 120)
 MESH_SHAPE = (9, 11)

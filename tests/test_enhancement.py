@@ -1,3 +1,4 @@
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -19,6 +20,7 @@ def _blocky_frame(rng, h=64, w=96, block=16):
     return tex, blocky
 
 
+@pytest.mark.slow
 def test_deblocker_smooths_blocky_regions(rng):
     tex, blocky = _blocky_frame(rng)
     frame = Frame.create(jnp.asarray(blocky)[None], fmt=PixelFormat.GRAY)
@@ -91,6 +93,7 @@ def test_rcas_borders_copy():
 # ---------------------------------------------------------------------- easu
 
 
+@pytest.mark.slow
 def test_easu_scale_smooth_gradient(rng):
     # On a smooth gradient EASU ~= bilinear; compare against resize.
     g = jnp.asarray(
@@ -105,6 +108,7 @@ def test_easu_scale_smooth_gradient(rng):
     assert diff.max() < 0.02
 
 
+@pytest.mark.slow
 def test_easu_dering_bounds(rng):
     tex = fixtures.make_texture(40, 48, rng)
     up = np.asarray(easu.easu_scale(tex[None], (80, 96), fmt=PixelFormat.GRAY))
@@ -129,6 +133,7 @@ def test_easu_remap_fill_and_nearest(rng):
     assert np.abs(out_id[8:-8, 8:-8] - np.asarray(tex)[8:-8, 8:-8]).mean() < 0.03
 
 
+@pytest.mark.slow
 def test_easu_matches_between_remap_and_scale(rng):
     tex = fixtures.make_texture(24, 24, rng)[None]
     oh, ow = 48, 48
@@ -143,6 +148,7 @@ def test_easu_matches_between_remap_and_scale(rng):
 # ------------------------------------------------------------------- scaling
 
 
+@pytest.mark.slow
 def test_scaling_filter_shapes(rng):
     tex = fixtures.make_texture(36, 64, rng)
     frame = Frame.create(jnp.stack([tex, tex, tex]), fmt=PixelFormat.YUV)
@@ -155,6 +161,7 @@ def test_scaling_filter_shapes(rng):
     assert (spec_out.height, spec_out.width) == (72, 128)
 
 
+@pytest.mark.slow
 def test_easu_scale_rational_paths_match_oracle(rng):
     """The polyphase rational fast path and the banded fallback both match
     the gather-based easu_remap on its pre-clamped map (exact for rational

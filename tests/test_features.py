@@ -1,3 +1,4 @@
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -9,6 +10,7 @@ from livevisionkit_tpu.vision import features
 SETTINGS = FeatureDetectorSettings(grid_shape=(8, 10))  # small grids for speed
 
 
+@pytest.mark.slow
 def test_fast_detects_square_corners():
     # A bright square on dark background: FAST-9 fires near its corners.
     img = jnp.zeros((48, 48)).at[16:32, 16:32].set(1.0)
@@ -27,6 +29,7 @@ def test_fast_blank_image_no_corners():
     assert float(score.max()) == 0.0
 
 
+@pytest.mark.slow
 def test_detect_grid_capacity_and_validity(rng):
     tex = fixtures.make_texture(64, 80, rng)
     s = FeatureDetectorSettings(grid_shape=(8, 10), fast_threshold_init=0.08)

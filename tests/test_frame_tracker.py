@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -16,6 +17,7 @@ SETTINGS = FrameTrackerSettings(
 )
 
 
+@pytest.mark.slow
 def test_tracker_recovers_known_translation(rng):
     base = fixtures.make_texture(256, 256, rng)
     size = (96, 120)  # frame == detection size: motions compare directly
@@ -39,6 +41,7 @@ def test_tracker_recovers_known_translation(rng):
     np.testing.assert_allclose(off[1] * 119, 3.0, atol=0.35)  # dx * (w-1)
 
 
+@pytest.mark.slow
 def test_tracker_flags_flat_scene(rng):
     state = frame_tracker.init(SETTINGS)
     flat = jnp.full((96, 120), 0.5)
@@ -49,6 +52,7 @@ def test_tracker_flags_flat_scene(rng):
     np.testing.assert_allclose(np.asarray(r.motion.offsets), 0.0)
 
 
+@pytest.mark.slow
 def test_tracker_jit_scan(rng):
     base = fixtures.make_texture(256, 256, rng)
     size = (96, 120)

@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +13,8 @@ from livevisionkit_tpu.config import (
 )
 from livevisionkit_tpu.models.warp_field import WarpField
 from livevisionkit_tpu.vision import mesh_motion
+
+pytestmark = pytest.mark.slow  # whole module: sharded/jit-compile dominated
 
 SIZE = (96, 120)
 MESH = (9, 11)

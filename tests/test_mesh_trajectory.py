@@ -12,6 +12,7 @@ no solver oracle.  Three closures here:
      FrameTracker.cpp:274-276).
 """
 
+import pytest
 import dataclasses
 
 import jax
@@ -33,6 +34,8 @@ from livevisionkit_tpu.filters.base import FrameSpec
 from livevisionkit_tpu.models.warp_field import WarpField
 from livevisionkit_tpu.utils import metrics
 from livevisionkit_tpu.vision import mesh_motion
+
+pytestmark = pytest.mark.slow  # whole module: sharded/jit-compile dominated
 
 
 def _settings(mesh, predictive=8):
@@ -194,33 +197,111 @@ def test_mesh_beats_homography_on_parallax(rng):
     assert stab_jitter["field"] <= stab_jitter["homography"] * 1.02, stab_jitter
 
 
+def test_mesh_temporal_coherence_damps_flicker(rng):
+    """Static half-textured scene + per-frame sensor noise: nodes over the
+    flat half are constrained only by rigidity/global/temporal terms plus
+    spurious noise features, so without the prev-mesh pull each frame's
+    solve wobbles independently.  With the temporal term (reference
+    FrameTracker.cpp:274-276; local-residual target here, see
+    mesh_motion.estimate) the frame-to-frame delta of the mesh's LOCAL
+    (plane-removed) part must be absolutely bounded and clearly smaller
+    than with the term disabled.  The plane (global/affine) part of the
+    wobble is the RANSAC fit's own noise, which the downstream PathSmoother
+    removes — the mesh solve is only responsible for not adding
+    differential flicker on top."""
+    from livevisionkit_tpu.vision import frame_tracker
+
+    n, size = 18, (96, 120)
+    h, w = size
+    base = np.full((h, w), 0.45, np.float32)
+    base[:, : w // 2] = np.asarray(fixtures.make_texture(h, w // 2, rng))
+    frames = [
+        jnp.asarray(
+            np.clip(base + rng.normal(0, 0.02, base.shape), 0, 1)
+            .astype(np.float32)
+        )
+        for _ in range(n)
+    ]
+
+    def run(tracker_settings):
+        st = frame_tracker.init(tracker_settings)
+        step = jax.jit(frame_tracker.track, static_argnums=2)
+        meshes, oks = [], []
+        for f in frames:
+            st, res = step(st, f, tracker_settings)
+            meshes.append(
+                np.asarray(res.motion.offsets)
+                * np.array([h - 1, w - 1]).reshape(2, 1, 1)
+            )
+            oks.append(bool(res.ok))
+        return np.stack(meshes), np.asarray(oks)
+
+    ts = dataclasses.replace(
+        _settings((16, 16)).tracker, min_uniformity=0.0
+    )
+    ts_off = dataclasses.replace(
+        ts, mesh=dataclasses.replace(ts.mesh, temporal_weight=0.0)
+    )
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    basis = np.c_[np.ones(256), xx.ravel(), yy.ravel()]
+    proj = basis @ np.linalg.pinv(basis)  # projector onto the plane space
+
+    def local_part(m):
+        flat = m.reshape(2, -1)
+        return (flat - flat @ proj.T).reshape(2, 16, 16)
+
+    def flicker(meshes, oks):
+        # Frame-to-frame delta of the plane-removed mesh in px over the
+        # weakly-constrained half, after warm-up; solves must have run (ok).
+        sel = np.nonzero(oks)[0]
+        sel = sel[sel >= 3]
+        loc = [local_part(m) for m in meshes]
+        deltas = [
+            np.abs(loc[t] - loc[t - 1])[:, :, 8:].mean() for t in sel
+        ]
+        return float(np.mean(deltas))
+
+    m_on, ok_on = run(ts)
+    m_off, ok_off = run(ts_off)
+    assert ok_on[3:].mean() >= 0.8 and ok_off[3:].mean() >= 0.8, (
+        ok_on, ok_off
+    )
+    f_on, f_off = flicker(m_on, ok_on), flicker(m_off, ok_off)
+    # Bounded by construction (static scene): a fraction of a pixel.
+    assert f_on < 0.32, (f_on, f_off)
+    # And the temporal term is what bounds it.
+    assert f_on < 0.8 * f_off, (f_on, f_off)
+
+
 def test_mesh_cg_matches_dense_lstsq(rng):
     """The matrix-free CG normal-equation solve == dense numpy solve of
-    (A^T W A + lam_r D^T D + lam_t I) x = A^T W d + lam_t x0."""
+    (A^T W A + lam_r D^T D + (lam_t + lam_g) I) x
+        = A^T W d + lam_t x_prev + lam_g x_glob,
+    both without a previous mesh (lam_t drops out) and with one (the r3
+    temporal-coherence term, reference FrameTracker.cpp:274-276)."""
     hm, wm = 6, 7
     size = (60, 80)
     h, w = size
     nodes = hm * wm
     n_pts = 40
     settings = MeshMotionSettings(
-        rigidity_weight=0.8, temporal_weight=0.1,
+        rigidity_weight=0.8, temporal_weight=0.25, global_weight=0.1,
         cg_iterations=300, irls_rounds=1, inlier_threshold_px=1e6,
     )
     src = rng.uniform([2, 2], [w - 3, h - 3], size=(n_pts, 2)).astype(np.float32)
     dst = (src + rng.uniform(-2, 2, size=(n_pts, 2))).astype(np.float32)
     weights = rng.uniform(0.2, 1.0, size=n_pts).astype(np.float32)
-    warm = WarpField(
+    glob = WarpField(
+        offsets=jnp.asarray(rng.uniform(-0.01, 0.01, size=(2, hm, wm)))
+        .astype(jnp.float32)
+    )
+    prev_local = WarpField(
         offsets=jnp.asarray(rng.uniform(-0.01, 0.01, size=(2, hm, wm)))
         .astype(jnp.float32)
     )
 
-    field, _, _ = mesh_motion.estimate(
-        jnp.asarray(src), jnp.asarray(dst), jnp.asarray(weights),
-        warm, size, settings,
-    )
-    got = np.asarray(field.offsets) * np.array([h - 1, w - 1]).reshape(2, 1, 1)
-
-    # Dense oracle (per dy/dx component; the system is separable).
+    # Dense oracle pieces (per dy/dx component; the system is separable).
     idx, w4 = mesh_motion._bilinear_weights(
         jnp.asarray(dst), (hm, wm), size
     )
@@ -243,14 +324,37 @@ def test_mesh_cg_matches_dense_lstsq(rng):
             rows.append(r)
     D = np.stack(rows)
     W = np.diag(weights)
-    lhs = A.T @ W @ A + settings.rigidity_weight * (D.T @ D) + \
-        settings.temporal_weight * np.eye(nodes)
     d_obs = np.stack([src[:, 1] - dst[:, 1], src[:, 0] - dst[:, 0]], -1)
-    x0 = np.asarray(warm.offsets).reshape(2, -1) * np.array(
-        [h - 1, w - 1]
-    ).reshape(2, 1)
-    for comp in range(2):
-        rhs = A.T @ (weights * d_obs[:, comp]) + \
-            settings.temporal_weight * x0[comp]
-        want = np.linalg.solve(lhs, rhs).reshape(hm, wm)
-        np.testing.assert_allclose(got[comp], want, atol=2e-3)
+    px_scale = np.array([h - 1, w - 1]).reshape(2, 1)
+    x_glob = np.asarray(glob.offsets).reshape(2, -1) * px_scale
+    # Temporal target = current global fit + previous LOCAL residual.
+    x_tgt = x_glob + np.asarray(prev_local.offsets).reshape(2, -1) * px_scale
+
+    # Adaptive per-node temporal weight: lam_t / (1 + (s/s0)^2) with s the
+    # feature-support diagonal sum_i w_i w4_ik^2 at each node.
+    s = np.zeros(nodes)
+    for i in range(n_pts):
+        for k in range(4):
+            s[idx[i, k]] += weights[i] * w4[i, k] ** 2
+    lam_tn_full = settings.temporal_weight / (
+        1.0 + (s / settings.temporal_support_scale) ** 2
+    )
+
+    for lam_tn, kwargs in (
+        (np.zeros(nodes), {}),  # no previous mesh
+        (lam_tn_full, dict(prev_local=prev_local, prev_weight_scale=1.0)),
+        # prev supplied but zero-scaled (first frame under jit) == no prev
+        (np.zeros(nodes), dict(prev_local=prev_local, prev_weight_scale=0.0)),
+    ):
+        field, _, _ = mesh_motion.estimate(
+            jnp.asarray(src), jnp.asarray(dst), jnp.asarray(weights),
+            glob, size, settings, **kwargs,
+        )
+        got = np.asarray(field.offsets) * px_scale.reshape(2, 1, 1)
+        lhs = A.T @ W @ A + settings.rigidity_weight * (D.T @ D) + \
+            np.diag(lam_tn) + settings.global_weight * np.eye(nodes)
+        for comp in range(2):
+            rhs = A.T @ (weights * d_obs[:, comp]) + \
+                lam_tn * x_tgt[comp] + settings.global_weight * x_glob[comp]
+            want = np.linalg.solve(lhs, rhs).reshape(hm, wm)
+            np.testing.assert_allclose(got[comp], want, atol=2e-3)

@@ -6,6 +6,7 @@ process-local global-array assembly, the full sharded step, and local output
 extraction (shard reassembly across W tiles).
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -14,6 +15,8 @@ from livevisionkit_tpu import FrameSpec, PixelFormat
 from livevisionkit_tpu.data.frame import Frame
 from livevisionkit_tpu.parallel import multihost
 from test_parallel import _clips, _filter
+
+pytestmark = pytest.mark.slow  # whole module: sharded/jit-compile dominated
 
 
 def test_initialize_single_process_noop(monkeypatch):

@@ -22,6 +22,8 @@ from livevisionkit_tpu.parallel.streams import make_mesh
 from livevisionkit_tpu.runtime import multistream
 from livevisionkit_tpu.runtime.stream import stream
 
+pytestmark = pytest.mark.slow  # whole module: sharded/jit-compile dominated
+
 
 def _filter():
     return CompositeFilter(

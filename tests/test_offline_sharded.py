@@ -1,5 +1,6 @@
 """Temporal sharding: chunked offline processing matches the serial scan."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +16,8 @@ from livevisionkit_tpu import (
     StabilizationFilterSettings,
 )
 from livevisionkit_tpu.runtime import offline
+
+pytestmark = pytest.mark.slow  # whole module: sharded/jit-compile dominated
 
 
 def _clip(rng, n, size=(96, 128)):

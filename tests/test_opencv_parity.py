@@ -32,6 +32,7 @@ def _pair(rng, shift=(3.3, -2.1), size=(120, 160)):
     return f0, f1
 
 
+@pytest.mark.slow
 def test_lk_matches_opencv(rng):
     f0, f1 = _pair(rng)
     u80, u81 = (f0 * 255).astype(np.uint8), (f1 * 255).astype(np.uint8)

@@ -1,3 +1,4 @@
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,6 +49,7 @@ def test_lk_large_motion_needs_pyramid(rng):
     np.testing.assert_allclose(med, [9.0, -6.0], atol=0.5)
 
 
+@pytest.mark.slow
 def test_lk_flat_region_rejected(rng):
     flat = jnp.full((96, 128), 0.5)
     s = OpticalFlowSettings()

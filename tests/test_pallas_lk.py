@@ -1,11 +1,14 @@
 """Pallas LK level kernel vs the XLA _track_level oracle (interpret mode)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
 from livevisionkit_tpu.config import OpticalFlowSettings
 from livevisionkit_tpu.ops.tpu_kernels import lk as lk_kernel
 from livevisionkit_tpu.vision import optical_flow as OF
+
+pytestmark = pytest.mark.slow  # whole module: sharded/jit-compile dominated
 
 
 def _setup(rng, H=68, W=120, N=37, shift=(1, -1)):

@@ -33,14 +33,16 @@ def test_easu_up2_rgb_luma_path(rng):
 
 
 def test_easu_dispatch_override(rng, monkeypatch):
-    """LVK_EASU=pallas routes easu_scale through the kernel off-TPU
-    (interpreted); =xla keeps the rational path."""
+    """force="pallas" routes easu_scale through the kernel off-TPU
+    (interpreted); "xla" keeps the rational path.  The LVK_EASU env var is
+    the default for the argument."""
     img = jnp.asarray(rng.uniform(0, 1, (3, 64, 96)).astype(np.float32))
-    monkeypatch.setenv("LVK_EASU", "xla")
-    ref = easu.easu_scale(img, (128, 192), fmt=PixelFormat.YUV)
-    monkeypatch.setenv("LVK_EASU", "pallas")
-    got = easu.easu_scale(img, (128, 192), fmt=PixelFormat.YUV)
+    ref = easu.easu_scale(img, (128, 192), fmt=PixelFormat.YUV, force="xla")
+    got = easu.easu_scale(img, (128, 192), fmt=PixelFormat.YUV, force="pallas")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    monkeypatch.setenv("LVK_EASU", "pallas")
+    env = easu.easu_scale(img, (128, 192), fmt=PixelFormat.YUV)
+    np.testing.assert_allclose(np.asarray(env), np.asarray(got), atol=0)
 
 
 def test_rcas_matches_xla(rng):
@@ -52,8 +54,9 @@ def test_rcas_matches_xla(rng):
 
 def test_rcas_dispatch_override(rng, monkeypatch):
     img = jnp.asarray(rng.uniform(0, 1, (1, 300, 300)).astype(np.float32))
-    monkeypatch.setenv("LVK_RCAS", "xla")
-    ref = rcas.rcas(img, 0.5)
-    monkeypatch.setenv("LVK_RCAS", "pallas")
-    got = rcas.rcas(img, 0.5)
+    ref = rcas.rcas(img, 0.5, force="xla")
+    got = rcas.rcas(img, 0.5, force="pallas")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+    monkeypatch.setenv("LVK_RCAS", "pallas")
+    env = rcas.rcas(img, 0.5)
+    np.testing.assert_allclose(np.asarray(env), np.asarray(got), atol=0)

@@ -1,5 +1,6 @@
 """Pallas warp kernel vs the XLA gather remap (interpret mode on CPU)."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -8,6 +9,8 @@ from livevisionkit_tpu.models.homography import Homography
 from livevisionkit_tpu.models.warp_field import WarpField
 from livevisionkit_tpu.ops import remap as remap_ops
 from livevisionkit_tpu.ops.tpu_kernels import warp as pwarp
+
+pytestmark = pytest.mark.slow  # whole module: sharded/jit-compile dominated
 
 
 def _compare(src, smap, atol, crop=8, **kw):

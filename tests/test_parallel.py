@@ -1,5 +1,6 @@
 """Multi-device tests on the virtual 8-CPU mesh (stream DP x frame tiling)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -16,6 +17,8 @@ from livevisionkit_tpu import (
 )
 from livevisionkit_tpu.data.frame import Frame
 from livevisionkit_tpu.parallel import streams as par
+
+pytestmark = pytest.mark.slow  # whole module: sharded/jit-compile dominated
 
 
 def _filter():

@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -39,6 +40,7 @@ def _max_grid_error(m_est, m_true):
     return np.abs(e - t).max()
 
 
+@pytest.mark.slow
 def test_homography_with_outliers(rng):
     src, dst, valid, m_true, out_idx = _make_matches(rng)
     est = ransac.estimate(
@@ -71,6 +73,7 @@ def test_similarity_model(rng):
     np.testing.assert_allclose(m[2, :2], 0.0, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_too_few_points_not_ok(rng):
     src = jnp.asarray(rng.uniform(0, 100, size=(50, 2)).astype(np.float32))
     valid = jnp.zeros(50, bool).at[:4].set(True)

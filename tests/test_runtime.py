@@ -34,6 +34,7 @@ def test_stream_identity_round_trip(rng):
         assert np.abs(got - src.astype(np.int32)).max() <= 2
 
 
+@pytest.mark.slow
 def test_stream_stabilizer_delay_and_order(rng):
     from livevisionkit_tpu import (
         FeatureDetectorSettings,
@@ -66,6 +67,7 @@ def test_stream_stabilizer_delay_and_order(rng):
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_cli_end_to_end(rng, tmp_path):
     cv2 = pytest.importorskip("cv2")
     from livevisionkit_tpu.runtime import cli
@@ -81,7 +83,8 @@ def test_cli_end_to_end(rng, tmp_path):
     dst = str(tmp_path / "out.avi")
     csv = str(tmp_path / "stats.csv")
     rc = cli.main(
-        ["-f", "vs.smoothing=3", "-v", "-L", csv, src, dst, "-c", "MJPG"]
+        ["-f", "vs.smoothing=3", "-v", "--profile-filters", "-L", csv,
+         src, dst, "-c", "MJPG"]
     )
     assert rc == 0
     cap = cv2.VideoCapture(dst)
@@ -93,10 +96,14 @@ def test_cli_end_to_end(rng, tmp_path):
             break
         n_out += 1
     assert n_out == 14 - 3  # stabilizer delay
-    stats = dict(
-        line.strip().split(",") for line in open(csv).read().splitlines()[1:]
-    )
-    assert int(stats["frames_out"]) == n_out
+    rows = [line.strip().split(",") for line in open(csv).read().splitlines()]
+    assert rows[0] == ["metric", "name", "avg_ms", "dev_ms", "count"]
+    stats = {r[0]: r for r in rows[1:]}
+    assert int(stats["frames_out"][4]) == n_out
+    # Per-filter avg +- dev rows (reference VideoProcessor.cpp:312-356).
+    per_filter = [r for r in rows if r[0] == "filter_time"]
+    assert len(per_filter) == 1 and "Stabilization" in per_filter[0][1]
+    assert float(per_filter[0][2]) > 0 and int(per_filter[0][4]) > 0
 
 
 def test_cli_list_encoders(capsys):

@@ -1,5 +1,6 @@
 """Halo-exchange sharded remap == global remap (8-dev mesh)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,6 +11,8 @@ from livevisionkit_tpu.models.homography import Homography
 from livevisionkit_tpu.models.warp_field import WarpField
 from livevisionkit_tpu.ops import remap as remap_ops
 from livevisionkit_tpu.parallel import spatial
+
+pytestmark = pytest.mark.slow  # whole module: sharded/jit-compile dominated
 
 
 def _mesh(n=8):

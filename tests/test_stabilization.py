@@ -1,5 +1,6 @@
 """End-to-end stabilizer test on a synthetic shaky clip with known path."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,6 +37,7 @@ def _jitter(frames_np, valid=None):
     return d.mean()
 
 
+@pytest.mark.slow
 def test_stabilizer_reduces_jitter(rng):
     base = fixtures.make_texture(320, 320, rng)
     size = (120, 160)
@@ -96,6 +98,7 @@ def test_disabled_filter_passthrough_with_delay(rng):
         )
 
 
+@pytest.mark.slow
 def test_scene_quality_gate_suppresses_correction(monkeypatch, rng):
     """A persistently LOW-quality scene (tracking works frame-to-frame but
     with mediocre stability, above the discontinuity threshold yet below
@@ -165,6 +168,7 @@ def test_scene_quality_gate_suppresses_correction(monkeypatch, rng):
     assert float(state2.trust) > 0.8
 
 
+@pytest.mark.slow
 def test_trust_drops_on_scene_cut(rng):
     base1 = fixtures.make_texture(320, 320, rng)
     base2 = fixtures.make_texture(320, 320, rng)  # unrelated scene

@@ -8,6 +8,7 @@ known camera path and the filter's applied correction field:
     output position y_t ~= x_t - c_t(x_t)
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,6 +25,8 @@ from livevisionkit_tpu import (
 from livevisionkit_tpu.data.frame import Frame
 from livevisionkit_tpu.filters.base import FrameSpec
 from livevisionkit_tpu.utils import metrics
+
+pytestmark = pytest.mark.slow  # whole module: sharded/jit-compile dominated
 
 
 def _run_stabilizer(rng, n=40, size=(120, 160), predictive=8):

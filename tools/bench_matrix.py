@@ -31,6 +31,9 @@ def _frame(rng, c, h, w):
 def main() -> None:
     import livevisionkit_tpu as lvk
     from __graft_entry__ import _flagship_filter
+    from livevisionkit_tpu.utils import compile_cache
+
+    compile_cache.enable_default()
     from livevisionkit_tpu import presets
     from livevisionkit_tpu.config import (
         DeblockingFilterSettings,
