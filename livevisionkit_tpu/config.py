@@ -175,6 +175,12 @@ class StabilizationFilterSettings:
     scene_quality_rate: float = 0.1
     trust_step: float = 0.05
     crop_output: bool = False  # zoom into the stable region on output
+    # Storage dtype of the frame delay queue ("uint8" | "float32").  The
+    # reference stores frames as 8-bit UMats (Data/VideoFrame.cpp), so u8 is
+    # exact parity — and it cuts the queue's HBM footprint and per-step
+    # bandwidth 4x, which dominates the step cost at high stream counts
+    # (r3: S=8 vmap batch spent ~7 ms/step on the f32 queue alone).
+    queue_dtype: str = "uint8"
 
 
 @dataclass(frozen=True)

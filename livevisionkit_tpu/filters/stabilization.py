@@ -35,6 +35,23 @@ from livevisionkit_tpu.models.warp_field import WarpField
 from livevisionkit_tpu.vision import frame_tracker, path_smoother
 
 
+def _quantize_u8(frame: Frame) -> Frame:
+    """Frame payload -> u8 for delay-queue storage (round, not truncate)."""
+    q = lambda x: jnp.clip(x * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)  # noqa: E731
+    return frame.replace(
+        pixels=q(frame.pixels),
+        alpha=None if frame.alpha is None else q(frame.alpha),
+    )
+
+
+def _dequantize_u8(frame: Frame) -> Frame:
+    d = lambda x: x.astype(jnp.float32) * (1.0 / 255.0)  # noqa: E731
+    return frame.replace(
+        pixels=d(frame.pixels),
+        alpha=None if frame.alpha is None else d(frame.alpha),
+    )
+
+
 class StabilizerState(struct.PyTreeNode):
     tracker: frame_tracker.TrackerState
     smoother: path_smoother.SmootherState
@@ -63,6 +80,9 @@ class StabilizationFilter(VideoFilter):
 
     def init(self, spec: FrameSpec) -> StabilizerState:
         s = self.settings
+        # Delay-queue payload dtype: uint8 by default — the reference keeps
+        # frames as 8-bit UMats (Data/VideoFrame.cpp), and the f32 queue's
+        # HBM traffic dominates the step at high batched stream counts.
         template = Frame.create(
             jnp.zeros((spec.channels, spec.height, spec.width), jnp.float32),
             fmt=spec.format,
@@ -71,6 +91,12 @@ class StabilizationFilter(VideoFilter):
             if spec.has_alpha
             else None,
         )
+        if s.queue_dtype == "uint8":
+            template = template.replace(
+                pixels=template.pixels.astype(jnp.uint8),
+                alpha=None if template.alpha is None
+                else template.alpha.astype(jnp.uint8),
+            )
         return StabilizerState(
             tracker=frame_tracker.init(s.tracker),
             smoother=path_smoother.init(s.smoother, s.tracker.motion_resolution),
@@ -157,8 +183,15 @@ class StabilizationFilter(VideoFilter):
         smoother_state = where_state(frame.valid, smoother_state, state.smoother)
 
         # ---- delay queue --------------------------------------------------
-        frames = state.frames.push(frame)
-        delayed: Frame = frames.oldest()
+        # u8 storage quantizes on push / dequantizes on pop (exactly the
+        # reference's 8-bit frame storage); the cast must be explicit — a
+        # raw float->u8 astype would truncate [0,1] floats to zero.
+        if s.queue_dtype == "uint8":
+            frames = state.frames.push(_quantize_u8(frame))
+            delayed: Frame = _dequantize_u8(frames.oldest())
+        else:
+            frames = state.frames.push(frame)
+            delayed = frames.oldest()
         queue_full = frames.is_full()
 
         # ---- corrective warp ---------------------------------------------

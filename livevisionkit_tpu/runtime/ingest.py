@@ -204,6 +204,49 @@ def _to_u8(x: jax.Array) -> jax.Array:
     return jnp.clip(x * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
 
 
+def download_nv12(frame: Frame) -> tuple[np.ndarray, np.ndarray]:
+    """Device YUV frame -> host NV12 (y (H,W), uv (H/2,W/2,2) interleaved):
+    the download half of the reference's NV12Ingest
+    (FrameIngest.cpp:145-217); chroma subsampled on device, interleave on
+    host (native fast path)."""
+    from livevisionkit_tpu.runtime import native_host
+
+    y, u, v = download_i420(frame)
+    return y, native_host.interleave_nv12(u, v)
+
+
+@jax.jit
+def _split_422(pixels: jax.Array):
+    """Packed-4:2:2 egress planes: full-res luma + half-width chroma."""
+    h, w = pixels.shape[-2:]
+    y = jnp.clip(pixels[0] * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+    u = resample.resize(pixels[1], (h, w // 2), antialias=True)
+    v = resample.resize(pixels[2], (h, w // 2), antialias=True)
+    u = jnp.clip(u * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+    v = jnp.clip(v * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+    return y, u, v
+
+
+def download_yuy2(frame: Frame) -> np.ndarray:
+    """Device YUV frame -> packed (H, W, 2) YUYV (reference P422Ingest
+    download, FrameIngest.cpp:145-217): horizontal chroma subsample on
+    device, byte interleave on host (native fast path)."""
+    assert frame.format is PixelFormat.YUV, "download_yuy2 needs a YUV frame"
+    from livevisionkit_tpu.runtime import native_host
+
+    y, u, v = _split_422(frame.pixels)
+    return native_host.pack_yuy2(np.asarray(y), np.asarray(u), np.asarray(v))
+
+
+def download_uyvy(frame: Frame) -> np.ndarray:
+    """Device YUV frame -> packed (H, W, 2) UYVY."""
+    assert frame.format is PixelFormat.YUV, "download_uyvy needs a YUV frame"
+    from livevisionkit_tpu.runtime import native_host
+
+    y, u, v = _split_422(frame.pixels)
+    return native_host.pack_uyvy(np.asarray(y), np.asarray(u), np.asarray(v))
+
+
 def download_i40a(frame: Frame):
     """Device YUV frame -> host I40A planes (y, u, v, a).  Alpha is opaque
     (255) when the frame carries none — mirroring the reference's

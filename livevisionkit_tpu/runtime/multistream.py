@@ -45,6 +45,7 @@ class MultiStreamStats:
     frames_in: int = 0  # total decoded frames across streams
     frames_out: int = 0  # total valid emitted frames
     batches: int = 0
+    stalls: int = 0  # bubbles injected for slow (not ended) streams
     batch_time: Stopwatch = field(default_factory=Stopwatch)
     per_stream_out: list = field(default_factory=list)
 
@@ -67,6 +68,7 @@ def stream_multi(
     max_frames: int | None = None,
     stop_event: threading.Event | None = None,
     flush: bool = True,
+    slow_stream_timeout: float | None = 0.25,
 ) -> MultiStreamStats:
     """Run `filt` over S concurrent `readers` (each yields
     (bgr_hwc_uint8, timestamp)).
@@ -75,6 +77,15 @@ def stream_multi(
     per-stream writer threads for every VALID output frame, in stream order.
     With a `mesh` (axis "stream"), batch and state shard across devices; on
     one device the batch still runs as one vmapped program.
+
+    `slow_stream_timeout`: a stream whose decoder has no frame ready within
+    this many seconds gets a valid=False bubble for THIS batch instead of
+    stalling the other S-1 streams (no frame is dropped — its next frame
+    rides a later batch).  The lockstep batch otherwise has head-of-line
+    blocking: one wedged decoder would freeze every stream, which a serving
+    runtime can't accept.  None restores strict lockstep (bit-exact batch
+    scheduling for offline transcodes).  The first frame of each stream is
+    always waited for (it defines the slot shape).
     """
     n = len(readers)
     stats = MultiStreamStats(per_stream_out=[0] * n)
@@ -161,8 +172,23 @@ def stream_multi(
         while not stop_event.is_set() and not all(eof):
             raws, tss, lives = [], [], []
             for i in range(n):
-                item = None if eof[i] else in_qs[i].get()
-                if item is None:
+                stalled = False
+                if eof[i]:
+                    item = None
+                elif slow_stream_timeout is None or last_frame[i] is None:
+                    item = in_qs[i].get()
+                else:
+                    try:
+                        item = in_qs[i].get(timeout=slow_stream_timeout)
+                    except queue.Empty:
+                        item, stalled = None, True
+                if stalled:
+                    # Slow (not ended) stream: bubble THIS batch only.
+                    stats.stalls += 1
+                    raws.append(last_frame[i])
+                    tss.append(0.0)
+                    lives.append(False)
+                elif item is None:
                     eof[i] = True
                     if last_frame[i] is None:
                         raise RuntimeError(f"stream {i} produced no frames")

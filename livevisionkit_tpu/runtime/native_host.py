@@ -67,6 +67,9 @@ def get_lib():
         lib.lvk_unpack_yuy2.argtypes = [u8p, u8p, u8p, u8p, i64, i64]
         lib.lvk_unpack_uyvy.argtypes = [u8p, u8p, u8p, u8p, i64, i64]
         lib.lvk_split_nv12.argtypes = [u8p, u8p, u8p, i64]
+        lib.lvk_pack_yuy2.argtypes = [u8p, u8p, u8p, u8p, i64, i64]
+        lib.lvk_pack_uyvy.argtypes = [u8p, u8p, u8p, u8p, i64, i64]
+        lib.lvk_interleave_nv12.argtypes = [u8p, u8p, u8p, i64]
         lib.lvk_hwc_to_planar.argtypes = [u8p, u8p, i64, i64]
         lib.lvk_planar_to_hwc.argtypes = [u8p, u8p, i64, i64]
         lib.lvk_planar_f32_to_hwc_u8.argtypes = [f32p, u8p, i64, i64, i64]
@@ -123,6 +126,48 @@ def split_nv12(uv: np.ndarray):
     v = np.empty(uv.shape[:2], np.uint8)
     lib.lvk_split_nv12(_u8(uv), _u8(u), _u8(v), n)
     return u, v
+
+
+def pack_yuy2(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """(y (H,W), u (H,W/2), v (H,W/2)) uint8 planes -> (H, W, 2) YUYV."""
+    h, w = y.shape
+    lib = get_lib()
+    if lib is None:
+        out = np.empty((h, w, 2), np.uint8)
+        out[:, :, 0] = y
+        out[:, 0::2, 1] = u
+        out[:, 1::2, 1] = v
+        return out
+    y, u, v = map(np.ascontiguousarray, (y, u, v))
+    out = np.empty((h, w, 2), np.uint8)
+    lib.lvk_pack_yuy2(_u8(y), _u8(u), _u8(v), _u8(out), w, h)
+    return out
+
+
+def pack_uyvy(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    h, w = y.shape
+    lib = get_lib()
+    if lib is None:
+        out = np.empty((h, w, 2), np.uint8)
+        out[:, :, 1] = y
+        out[:, 0::2, 0] = u
+        out[:, 1::2, 0] = v
+        return out
+    y, u, v = map(np.ascontiguousarray, (y, u, v))
+    out = np.empty((h, w, 2), np.uint8)
+    lib.lvk_pack_uyvy(_u8(y), _u8(u), _u8(v), _u8(out), w, h)
+    return out
+
+
+def interleave_nv12(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """(u, v) (H/2, W/2) planes -> (H/2, W/2, 2) interleaved chroma."""
+    lib = get_lib()
+    if lib is None:
+        return np.stack([u, v], axis=-1)
+    u, v = np.ascontiguousarray(u), np.ascontiguousarray(v)
+    out = np.empty(u.shape + (2,), np.uint8)
+    lib.lvk_interleave_nv12(_u8(u), _u8(v), _u8(out), u.shape[0] * u.shape[1])
+    return out
 
 
 def hwc_to_planar(hwc: np.ndarray) -> np.ndarray:

@@ -70,6 +70,54 @@ void lvk_split_nv12(const uint8_t* uv, uint8_t* u, uint8_t* v, int64_t n) {
   }
 }
 
+// ---- egress packers (download halves of the reference's FrameIngest
+// codecs, Modules/OBS-Plugin/Interop/FrameIngest.cpp:145-217) -------------
+
+// Y (h*w), U (h*w/2), V (h*w/2) -> YUYV packed (h x w x 2 bytes)
+void lvk_pack_yuy2(const uint8_t* y, const uint8_t* u, const uint8_t* v,
+                   uint8_t* dst, int64_t w, int64_t h) {
+  const int64_t pairs = (w / 2);
+  for (int64_t r = 0; r < h; ++r) {
+    uint8_t* d = dst + r * w * 2;
+    const uint8_t* yr = y + r * w;
+    const uint8_t* ur = u + r * pairs;
+    const uint8_t* vr = v + r * pairs;
+    for (int64_t p = 0; p < pairs; ++p) {
+      d[4 * p + 0] = yr[2 * p];
+      d[4 * p + 1] = ur[p];
+      d[4 * p + 2] = yr[2 * p + 1];
+      d[4 * p + 3] = vr[p];
+    }
+  }
+}
+
+// planes -> UYVY packed
+void lvk_pack_uyvy(const uint8_t* y, const uint8_t* u, const uint8_t* v,
+                   uint8_t* dst, int64_t w, int64_t h) {
+  const int64_t pairs = (w / 2);
+  for (int64_t r = 0; r < h; ++r) {
+    uint8_t* d = dst + r * w * 2;
+    const uint8_t* yr = y + r * w;
+    const uint8_t* ur = u + r * pairs;
+    const uint8_t* vr = v + r * pairs;
+    for (int64_t p = 0; p < pairs; ++p) {
+      d[4 * p + 0] = ur[p];
+      d[4 * p + 1] = yr[2 * p];
+      d[4 * p + 2] = vr[p];
+      d[4 * p + 3] = yr[2 * p + 1];
+    }
+  }
+}
+
+// U, V planes -> NV12 interleaved chroma (n = plane elements)
+void lvk_interleave_nv12(const uint8_t* u, const uint8_t* v, uint8_t* uv,
+                         int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    uv[2 * i] = u[i];
+    uv[2 * i + 1] = v[i];
+  }
+}
+
 // HWC uint8 (h x w x 3) -> planar CHW uint8
 void lvk_hwc_to_planar(const uint8_t* src, uint8_t* dst, int64_t w, int64_t h) {
   const int64_t plane = w * h;

@@ -67,6 +67,49 @@ def test_i420_round_trip(rng):
     assert np.abs(u2[2:-2, 2:-2].astype(int) - u[2:-2, 2:-2].astype(int)).mean() < 12
 
 
+def test_nv12_round_trip(rng):
+    """Ingest -> egress round trip for the semi-planar format the reference
+    writes back in NV12Ingest's download half (FrameIngest.cpp:145-217)."""
+    y, u, v = _yuv_planes(rng)
+    f = ingest.upload_nv12(y, np.stack([u, v], axis=-1))
+    y2, uv2 = ingest.download_nv12(f)
+    np.testing.assert_array_equal(y2, y)
+    assert uv2.shape == (24, 32, 2)
+    assert np.abs(
+        uv2[2:-2, 2:-2, 0].astype(int) - u[2:-2, 2:-2].astype(int)
+    ).mean() < 12
+    assert np.abs(
+        uv2[2:-2, 2:-2, 1].astype(int) - v[2:-2, 2:-2].astype(int)
+    ).mean() < 12
+
+
+def test_yuy2_uyvy_round_trip(rng):
+    """Packed 4:2:2 egress (reference P422Ingest download half).  Luma is
+    exact; smooth chroma round-trips through the half-width resample within
+    a couple of LSB on the interior."""
+    h, w = 48, 64
+    y = (np.asarray(fixtures.make_texture(h, w, rng)) * 255).astype(np.uint8)
+    gy, gx = np.mgrid[0:h, 0 : w // 2]
+    u = (128 + 60 * np.sin(gx / 5.0)).astype(np.uint8)
+    v = (128 + 60 * np.cos(gy / 4.0)).astype(np.uint8)
+    yuy2 = np.zeros((h, w, 2), np.uint8)
+    yuy2[:, :, 0] = y
+    yuy2[:, 0::2, 1] = u
+    yuy2[:, 1::2, 1] = v
+    f = ingest.upload_yuy2(yuy2)
+    back = ingest.download_yuy2(f)
+    assert back.shape == yuy2.shape
+    np.testing.assert_array_equal(back[:, :, 0], y)
+    d = back[:, :, 1].astype(int) - yuy2[:, :, 1].astype(int)
+    assert np.abs(d[2:-2, 4:-4]).mean() < 3, np.abs(d).mean()
+
+    g = ingest.upload_uyvy(ingest.download_uyvy(f))
+    # YUY2 and UYVY egress carry identical samples, only byte order differs.
+    np.testing.assert_allclose(
+        np.asarray(g.pixels[0]), np.asarray(f.pixels[0]), atol=1.0 / 255.0
+    )
+
+
 def test_gray_and_bgr(rng):
     g = (np.asarray(fixtures.make_texture(20, 30, rng)) * 255).astype(np.uint8)
     f = ingest.upload_gray(g)

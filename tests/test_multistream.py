@@ -99,6 +99,54 @@ def test_multistream_matches_single_stream(rng, use_mesh):
         assert [round(t * 30) for (_, t) in got[i][-2:]] == [10, 11]
 
 
+def test_multistream_slow_stream_does_not_stall_batch(rng):
+    """A slow (not ended) decoder must not freeze the other streams: with a
+    bounded wait the driver bubbles the slow slot and keeps serving (r2
+    VERDICT: head-of-line blocking in the lockstep batch).  The slow
+    stream's frames are NOT dropped — they ride later batches."""
+    import time
+
+    n_frames = 8
+    clips = [_make_clip(rng, n_frames, 0), _make_clip(rng, n_frames, 1)]
+
+    def slow_reader(clip, delay):
+        for item in clip:
+            time.sleep(delay)
+            yield item
+
+    got = {0: [], 1: []}
+    lock = threading.Lock()
+
+    def on_out(i, px, ts):
+        with lock:
+            got[i].append((time.perf_counter(), ts))
+
+    stats = multistream.stream_multi(
+        _filter(),
+        [iter(clips[0]), slow_reader(clips[1], 0.35)],
+        on_output=on_out,
+        slow_stream_timeout=0.05,
+        inflight=0,
+        # Depth 1 so the slow decoder can't hide behind prefetch while the
+        # first batch compiles.
+        queue_depth=1,
+    )
+    # No frame lost on either stream, and bubbles were actually injected.
+    assert stats.frames_in == 2 * n_frames
+    assert len(got[0]) == n_frames and len(got[1]) == n_frames
+    assert stats.stalls > 0
+    # Per-stream output order intact.
+    for i in (0, 1):
+        ts = [t for (_, t) in got[i]]
+        assert ts == sorted(ts)
+    # The fast stream finished long before the slow one: its last output
+    # must not have waited for the slow decoder's tail (strict lockstep
+    # would emit both tails together).
+    fast_done = got[0][-1][0]
+    slow_done = got[1][-1][0]
+    assert slow_done - fast_done > 0.3, (fast_done, slow_done)
+
+
 def test_multistream_uneven_stream_lengths(rng):
     """A stream ending early leaves bubbles, the others run to completion."""
     clips = [

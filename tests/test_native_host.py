@@ -34,6 +34,29 @@ def test_nv12_split(rng):
     np.testing.assert_array_equal(v, uv[..., 1])
 
 
+def test_pack_unpack_inverse(rng):
+    """Egress packers invert the ingest unpackers exactly (bytes)."""
+    h, w = 32, 48
+    y = rng.integers(0, 255, size=(h, w)).astype(np.uint8)
+    u = rng.integers(0, 255, size=(h, w // 2)).astype(np.uint8)
+    v = rng.integers(0, 255, size=(h, w // 2)).astype(np.uint8)
+    for pack, unpack in (
+        (native_host.pack_yuy2, native_host.unpack_yuy2),
+        (native_host.pack_uyvy, native_host.unpack_uyvy),
+    ):
+        packed = pack(y, u, v)
+        y2, u2, v2 = unpack(packed)
+        np.testing.assert_array_equal(y2, y)
+        np.testing.assert_array_equal(u2, u)
+        np.testing.assert_array_equal(v2, v)
+    cu = rng.integers(0, 255, size=(h // 2, w // 2)).astype(np.uint8)
+    cv = rng.integers(0, 255, size=(h // 2, w // 2)).astype(np.uint8)
+    uv = native_host.interleave_nv12(cu, cv)
+    bu, bv = native_host.split_nv12(uv)
+    np.testing.assert_array_equal(bu, cu)
+    np.testing.assert_array_equal(bv, cv)
+
+
 def test_planar_f32_to_hwc(rng):
     x = rng.uniform(-0.1, 1.1, size=(3, 20, 30)).astype(np.float32)
     out = native_host.planar_f32_to_hwc_u8(x)

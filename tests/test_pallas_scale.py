@@ -45,6 +45,24 @@ def test_easu_dispatch_override(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(env), np.asarray(got), atol=0)
 
 
+def test_easu_up_randomized_sizes_match_oracle(rng):
+    """Property sweep (r2 VERDICT #9): odd/even/non-multiple-of-tile source
+    extents all match the XLA rational oracle — exercises the border-band
+    pasting and the grid-edge partial tiles of the Pallas kernel, not just
+    one aligned shape.  Even extents only (the kernel's parity split
+    requires them and the dispatch enforces it)."""
+    sizes = [(32, 34), (34, 64), (48, 130), (62, 98), (130, 32), (96, 96)]
+    for h, w in sizes:
+        img = jnp.asarray(rng.uniform(0, 1, (3, h, w)).astype(np.float32))
+        ref = easu.easu_scale(img, (2 * h, 2 * w), fmt=PixelFormat.YUV,
+                              force="xla")
+        got = pes.pallas_easu_up(img, p=2, fmt=PixelFormat.YUV, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-5,
+            err_msg=f"size {(h, w)}",
+        )
+
+
 def test_rcas_matches_xla(rng):
     img = jnp.asarray(rng.uniform(0, 1, (3, 100, 150)).astype(np.float32))
     ref = rcas.rcas(img, 0.8)

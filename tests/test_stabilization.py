@@ -90,12 +90,31 @@ def test_disabled_filter_passthrough_with_delay(rng):
             state, Frame.create(f[None], timestamp=float(t), fmt=PixelFormat.GRAY)
         )
         outs.append(out)
-    # Frame t output == input frame t-2, pixel exact (no warp on bypass).
+    # Frame t output == input frame t-2 (no warp on bypass) to within the
+    # 8-bit delay-queue quantization — the reference's queue stores 8-bit
+    # UMats, so u8-sourced inputs round-trip exactly; these synthetic float
+    # frames see at most half an LSB.
     for t in range(2, 10):
         assert bool(outs[t].valid)
         np.testing.assert_allclose(
-            np.asarray(outs[t].pixels[0]), np.asarray(frames[t - 2]), atol=1e-6
+            np.asarray(outs[t].pixels[0]), np.asarray(frames[t - 2]),
+            atol=0.5 / 255.0 + 1e-6,
         )
+    # And with an f32 queue the bypass is bit-exact.
+    import dataclasses
+
+    filt = StabilizationFilter(
+        settings=dataclasses.replace(_settings(2), queue_dtype="float32"),
+        enabled=False,
+    )
+    state = filt.init(spec)
+    for t, f in enumerate(frames[:4]):
+        state, out = filt.step(
+            state, Frame.create(f[None], timestamp=float(t), fmt=PixelFormat.GRAY)
+        )
+    np.testing.assert_allclose(
+        np.asarray(out.pixels[0]), np.asarray(frames[1]), atol=1e-6
+    )
 
 
 @pytest.mark.slow
@@ -187,3 +206,41 @@ def test_trust_drops_on_scene_cut(rng):
     # Trust builds up, then collapses at the cut (frame 8).
     assert trusts[7] > 0.2
     assert trusts[8] < trusts[7]
+
+
+@pytest.mark.slow
+def test_queue_dtype_u8_matches_f32_within_lsb(rng):
+    """The u8 delay queue (reference 8-bit UMat storage parity + 4x HBM
+    saving) must match the f32 queue within one 8-bit quantization step on
+    every output."""
+    import dataclasses
+
+    base = fixtures.make_texture(300, 300, rng)
+    size = (96, 128)
+    poses, _ = fixtures.shaky_path(12, rng, margin=80.0)
+    frames = [
+        Frame.create(
+            fixtures.render_frame(base, p, size)[None],
+            timestamp=t / 30.0,
+            fmt=PixelFormat.GRAY,
+        )
+        for t, p in enumerate(poses)
+    ]
+    outs = {}
+    for qd in ("uint8", "float32"):
+        filt = StabilizationFilter(
+            settings=dataclasses.replace(_settings(3), queue_dtype=qd)
+        )
+        spec = FrameSpec(size[0], size[1], 1, PixelFormat.GRAY)
+        state = filt.init(spec)
+        step = jax.jit(filt.step)
+        got = []
+        for f in frames:
+            state, out = step(state, f)
+            if bool(out.valid):
+                got.append(np.asarray(out.pixels))
+        outs[qd] = np.stack(got)
+    assert outs["uint8"].shape == outs["float32"].shape
+    # Bilinear interpolation of +-0.5/255 quantization noise stays within
+    # ~1 LSB of the unquantized result.
+    assert np.abs(outs["uint8"] - outs["float32"]).max() <= 1.5 / 255.0

@@ -5,11 +5,12 @@ bench.py — see the 'TPU timing through the relay is treacherous' notes in
 .claude/skills/verify/SKILL.md: per-call timing lies here, and constant
 inputs get hoisted out of the scan, so every body varies its pixels with t).
 
-Usage: python tools/bench_matrix.py
+Usage: python tools/bench_matrix.py [--only SUBSTR] [--json-out FILE]
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -29,6 +30,13 @@ def _frame(rng, c, h, w):
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="run only configs whose name contains SUBSTR")
+    ap.add_argument("--json-out", default=None,
+                    help="also append result lines to this file")
+    args = ap.parse_args()
+
     import livevisionkit_tpu as lvk
     from __graft_entry__ import _flagship_filter
     from livevisionkit_tpu.utils import compile_cache
@@ -44,7 +52,16 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
 
+    def emit(name, ms):
+        line = {"config": name, "value": round(ms, 3), "unit": "ms/frame/chip"}
+        print(json.dumps(line), flush=True)
+        if args.json_out:
+            with open(args.json_out, "a") as f:
+                f.write(json.dumps(line) + "\n")
+
     def run(name, filt, c, h, w, fmt):
+        if args.only and args.only not in name:
+            return
         spec = lvk.FrameSpec(height=h, width=w, channels=c, format=fmt)
         state = filt.init(spec)
         pix = _frame(rng, c, h, w)
@@ -56,9 +73,7 @@ def main() -> None:
             s, out = filt.step(s, fr)
             return s, jnp.sum(out.pixels)
 
-        ms = scan_time(body, state)
-        print(json.dumps({"config": name, "value": round(ms, 3),
-                          "unit": "ms/frame/chip"}))
+        emit(name, scan_time(body, state))
 
     # 1. Minimum slice: 640x480 gray homography stabilization.
     run(
@@ -85,6 +100,20 @@ def main() -> None:
         ScalingFilter(settings=ScalingFilterSettings(output_size=(2160, 3840))),
         3, 1080, 1920, lvk.PixelFormat.YUV,
     )
+    # 5. 4K-NATIVE rows (BASELINE config 4: 4K60 full chain, 16.6 ms
+    # budget).  Tracking still works at detection resolution, so the 4K
+    # cost is the full-res warp + enhancement passes.
+    run("4k_homography_stabilization", _flagship_filter(),
+        3, 2160, 3840, lvk.PixelFormat.YUV)
+    run(
+        "4k_mesh_stabilization",
+        lvk.StabilizationFilter(settings=presets.stabilization_preset(model="field")),
+        3, 2160, 3840, lvk.PixelFormat.YUV,
+    )
+    run("4k_deblock", DeblockingFilter(settings=DeblockingFilterSettings()),
+        3, 2160, 3840, lvk.PixelFormat.YUV)
+    run("4k_cas", lvk.CASFilter(settings=lvk.CASFilterSettings()),
+        3, 2160, 3840, lvk.PixelFormat.YUV)
 
 
 if __name__ == "__main__":

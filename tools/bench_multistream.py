@@ -1,0 +1,143 @@
+"""End-to-end multi-stream throughput: N real decoders -> one vmapped
+device step -> N encoders.
+
+tools/bench_scaling.py measures the DEVICE step in isolation; this harness
+measures the whole serving path of runtime/multistream.py — cv2/FFmpeg
+decode threads, host->device upload, the sharded/vmapped stabilize step,
+download, and per-stream encode — against the BASELINE config-5 shape
+(8×1080p60 ⇒ 480 aggregate fps).  The reference has no N-stream mode at
+all (one VideoFilter::stream pipeline per filter instance, reference
+Filters/VideoFilter.cpp:62-209), so the single-stream driver at N=1 is its
+stand-in baseline.
+
+NOTE on this environment: the host has 2 CPU cores, so N concurrent MJPG
+decodes + encodes bound the measurement long before the chip does (the
+device step is ~2-9 ms/batch, see BENCH_SCALING.jsonl).  The harness
+reports decode-only and device-step timings alongside aggregate fps so the
+bottleneck is attributable.
+
+Usage:
+    python tools/bench_multistream.py [--streams 4] [--size 480x640]
+        [--frames 90] [--no-encode]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, default=4)
+    ap.add_argument("--size", default="480x640", help="HxW of the clips")
+    ap.add_argument("--frames", type=int, default=90)
+    ap.add_argument("--no-encode", action="store_true",
+                    help="drop outputs instead of encoding (isolates decode"
+                    " + device path)")
+    ap.add_argument("--codec", default="MJPG")
+    args = ap.parse_args()
+
+    from livevisionkit_tpu.utils import compile_cache
+
+    compile_cache.enable_default()
+
+    import cv2
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
+    ))
+    import fixtures
+    from __graft_entry__ import _flagship_filter
+    from livevisionkit_tpu.runtime import multistream, video_io
+
+    h, w = map(int, args.size.split("x"))
+    n = args.streams
+    rng = np.random.default_rng(0)
+
+    tmp = tempfile.mkdtemp(prefix="lvk_msbench_")
+    log(f"writing {n} source clips ({args.frames} frames @ {w}x{h}) ...")
+    base = fixtures.make_texture(h + 260, w + 260, rng)
+    paths = []
+    for i in range(n):
+        poses, _ = fixtures.shaky_path(args.frames, rng, margin=110.0,
+                                       shake_px=2.0)
+        path = os.path.join(tmp, f"in_{i}.avi")
+        wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*args.codec),
+                             30, (w, h))
+        assert wr.isOpened()
+        for p in poses:
+            g = np.asarray(fixtures.render_frame(base, p, (h, w)))
+            wr.write(np.repeat((g * 255).astype(np.uint8)[:, :, None], 3, 2))
+        wr.release()
+        paths.append(path)
+
+    # Decode-only baseline: how fast can this host feed frames at all?
+    t0 = time.perf_counter()
+    n_dec = 0
+    for fr, _ in video_io.VideoReader(paths[0]):
+        n_dec += 1
+    decode_fps_1 = n_dec / (time.perf_counter() - t0)
+    log(f"single-decoder speed: {decode_fps_1:.1f} fps")
+
+    if h >= 540:
+        filt = _flagship_filter()
+    else:
+        det = (max(h // 2 // 12, 2) * 12, max(w // 2 // 16, 2) * 16)
+        filt = _flagship_filter(detection=det, grid=(12, 16), min_samples=30,
+                                hypotheses=128)
+
+    writers = [None] * n
+    if not args.no_encode:
+        writers = [
+            video_io.VideoWriter(os.path.join(tmp, f"out_{i}.avi"), 30,
+                                 args.codec)
+            for i in range(n)
+        ]
+
+    def on_output(i, planar_bgr, ts):
+        if writers[i] is not None:
+            writers[i].write(video_io.encode_bgr(planar_bgr))
+
+    log("running multistream driver (compile on first batch) ...")
+    readers = [iter(video_io.VideoReader(p)) for p in paths]
+    t0 = time.perf_counter()
+    stats = multistream.stream_multi(filt, readers, on_output=on_output)
+    wall = time.perf_counter() - t0
+    for wr_ in writers:
+        if wr_ is not None:
+            wr_.close()
+
+    # Steady-state aggregate: exclude the first (compile) batch via the
+    # Stopwatch history average versus the raw wall clock.
+    line = {
+        "metric": "multistream_end_to_end",
+        "streams": n,
+        "size": f"{h}x{w}",
+        "frames_in": stats.frames_in,
+        "frames_out": stats.frames_out,
+        "stalls": stats.stalls,
+        "wall_s": round(wall, 2),
+        "aggregate_fps": round(stats.frames_out / wall, 1),
+        "steady_state_fps": round(stats.fps_aggregate, 1),
+        "device_batch_ms": round(stats.batch_time.average() * 1e3, 2),
+        "single_decoder_fps": round(decode_fps_1, 1),
+        "encode": not args.no_encode,
+    }
+    print(json.dumps(line), flush=True)
+
+
+if __name__ == "__main__":
+    main()

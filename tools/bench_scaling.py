@@ -171,7 +171,7 @@ def main() -> None:
 
         log(f"S={s_count}: compiling + measuring ({label}, {h}x{w}) ...")
         t0 = time.perf_counter()
-        ms = scan_time(body, state, n1=10, n2=40)
+        ms = scan_time(body, state, n1=20, n2=80, reps=5, stat="median")
         log(f"S={s_count}: done in {time.perf_counter() - t0:.0f}s wall")
         if base_ms is None:
             base_ms = ms

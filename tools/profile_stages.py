@@ -20,7 +20,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def scan_time(make_body, state, n1=20, n2=80, reps=3):
+def scan_time(make_body, state, n1=20, n2=80, reps=3, stat="min"):
+    """Per-iteration time of `make_body` via scan-length differencing.
+
+    stat="min" (default) keeps the historical best-of-reps slope; "median"
+    is robust when the host is loaded (a slow t1 next to a fast t2 can push
+    a single slope negative — the median of several slopes cannot)."""
     def scan_n(n):
         def wrapped(s):
             return jax.lax.scan(make_body, s, jnp.arange(n))
@@ -37,12 +42,13 @@ def scan_time(make_body, state, n1=20, n2=80, reps=3):
 
     _, s = timed(run1, state)
     _, s = timed(run2, s)
-    best = np.inf
+    slopes = []
     for _ in range(reps):
         t1, s = timed(run1, s)
         t2, s = timed(run2, s)
-        best = min(best, (t2 - t1) / (n2 - n1))
-    return best * 1000.0
+        slopes.append((t2 - t1) / (n2 - n1))
+    agg = np.min if stat == "min" else np.median
+    return float(agg(slopes)) * 1000.0
 
 
 def main():
