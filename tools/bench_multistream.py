@@ -10,11 +10,15 @@ all (one VideoFilter::stream pipeline per filter instance, reference
 Filters/VideoFilter.cpp:62-209), so the single-stream driver at N=1 is its
 stand-in baseline.
 
-NOTE on this environment: the host has 2 CPU cores, so N concurrent MJPG
-decodes + encodes bound the measurement long before the chip does (the
-device step is ~2-9 ms/batch, see BENCH_SCALING.jsonl).  The harness
-reports decode-only and device-step timings alongside aggregate fps so the
-bottleneck is attributable.
+NOTE on this environment: the TPU is reached through a remote relay whose
+host<->device bandwidth is a dev-environment artifact (tens of MB/s; a
+real TPU host moves GB/s over PCIe/DMA), and the host has 2 CPU cores for
+N concurrent decodes + encodes.  Both bound this measurement long before
+the chip does (the device step itself is ~2-9 ms/batch,
+BENCH_SCALING.jsonl).  The harness therefore reports the decode-only rate
+AND a measured pure-transfer floor (`tunnel_roundtrip_ms`: upload one
+batch + download one output batch with a trivial kernel) alongside
+aggregate fps, so the bottleneck attribution is mechanical.
 
 Usage:
     python tools/bench_multistream.py [--streams 4] [--size 480x640]
@@ -92,6 +96,23 @@ def main() -> None:
     decode_fps_1 = n_dec / (time.perf_counter() - t0)
     log(f"single-decoder speed: {decode_fps_1:.1f} fps")
 
+    # Pure host<->device transfer floor for one batch round trip (upload
+    # u8 batch, trivial kernel, download f32 planar output).
+    import jax
+    import jax.numpy as jnp
+
+    up = np.zeros((n, h, w, 3), np.uint8)
+    triv = jax.jit(
+        lambda x: x.astype(jnp.float32).transpose(0, 3, 1, 2) * (1.0 / 255.0)
+    )
+    np.asarray(triv(jnp.asarray(up)))  # compile + first transfer
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = np.asarray(triv(jnp.asarray(up)))
+    tunnel_ms = (time.perf_counter() - t0) / reps * 1e3
+    log(f"transfer floor: {tunnel_ms:.0f} ms/batch round trip")
+
     if h >= 540:
         filt = _flagship_filter()
     else:
@@ -133,6 +154,7 @@ def main() -> None:
         "aggregate_fps": round(stats.frames_out / wall, 1),
         "steady_state_fps": round(stats.fps_aggregate, 1),
         "device_batch_ms": round(stats.batch_time.average() * 1e3, 2),
+        "tunnel_roundtrip_ms": round(tunnel_ms, 1),
         "single_decoder_fps": round(decode_fps_1, 1),
         "encode": not args.no_encode,
     }
