@@ -40,13 +40,27 @@ class DeblockingFilter(VideoFilter):
         s = self.settings
         block = s.block_size
         c, h, w = frame.pixels.shape
-        bh, bw = h // block, w // block  # macroblock extent
-        fh, fw = bh * block, bw * block  # filterable region (:64-71)
-        px = frame.pixels[:, :fh, :fw]
+        fh, fw = (h // block) * block, (w // block) * block  # whole blocks
+        # Pad UP to whole macroblocks instead of cropping down: partial
+        # border blocks still pass through untouched (keep forced to 1
+        # below — the reference's crop-not-pad semantics, :64-71), but the
+        # whole pipeline stays one fused full-frame elementwise pass.  The
+        # crop + `.at[:, :fh, :fw].set` formulation measured 2.87 ms at
+        # 1080p (crop to 1072 rows + splice) vs 0.26 ms aligned — the
+        # splice forces full-frame materialization between every stage.
+        ph, pw = -(-h // block) * block, -(-w // block) * block
+        px = jnp.pad(
+            frame.pixels, ((0, 0), (0, ph - h), (0, pw - w)), mode="edge"
+        )
 
-        # Smooth frame (:73-77). The filter region is divisible by the
+        # Smooth frame (:73-77). The padded region is divisible by the
         # scaling (block 16 % scaling 4 == 0), so INTER_AREA == avg_pool.
-        small = resample.avg_pool(px, s.filter_scaling)
+        # Pooling flavour by producer: the reshape form is fastest on
+        # native-shape inputs (4K: 2.0 vs 2.7 ms) but forces a ~2.5 ms
+        # relayout when its input is a pad (1080p); reduce_window consumes
+        # any layout directly (see avg_pool_rw).
+        pool = resample.avg_pool if (ph == h and pw == w) else resample.avg_pool_rw
+        small = pool(px, s.filter_scaling)
         small = resample.median_blur(small, s.filter_size)
         smooth = resample.upsample_linear_int(
             small, (s.filter_scaling, s.filter_scaling)
@@ -54,9 +68,9 @@ class DeblockingFilter(VideoFilter):
 
         # Blockiness measure (:79-84): per-block mean |luma - block mean|.
         gray = color_ops.luma(px, frame.format)
-        block_mean = resample.avg_pool(gray, block)  # (bh, bw)
+        block_mean = pool(gray, block)
         reference = resample.upsample_nearest_int(block_mean, block)
-        measure = resample.avg_pool(jnp.abs(gray - reference), block)
+        measure = pool(jnp.abs(gray - reference), block)
 
         # Multi-level threshold -> keep map (:86-95). The reference
         # thresholds the 8-bit measure at integer levels l=0..L-1 and
@@ -64,10 +78,16 @@ class DeblockingFilter(VideoFilter):
         levels = s.detection_levels
         keep_blocks = jnp.minimum(jnp.floor(measure * 255.0), levels) / levels
         keep = resample.upsample_linear_int(keep_blocks, (block, block))
+        keep = keep[:h, :w]
+        smooth = smooth[:, :h, :w]
+        # Partial border blocks pass through untouched (:64-71).
+        if fh < h or fw < w:
+            yy = jnp.arange(h).reshape(-1, 1)
+            xx = jnp.arange(w).reshape(1, -1)
+            keep = jnp.where((yy >= fh) | (xx >= fw), 1.0, keep)
 
         # Adaptive blend (:100-107).
-        blended = px * keep[None] + smooth * (1.0 - keep[None])
-        out = frame.pixels.at[:, :fh, :fw].set(blended)
+        out = frame.pixels * keep[None] + smooth * (1.0 - keep[None])
         return state, frame.with_pixels(out)
 
     def influence_map(self, frame: Frame) -> jnp.ndarray:
@@ -79,9 +99,9 @@ class DeblockingFilter(VideoFilter):
         _, h, w = frame.pixels.shape
         fh, fw = (h // block) * block, (w // block) * block
         gray = color_ops.luma(frame.pixels[:, :fh, :fw], frame.format)
-        block_mean = resample.avg_pool(gray, block)
+        block_mean = resample.avg_pool_rw(gray, block)
         reference = resample.upsample_nearest_int(block_mean, block)
-        measure = resample.avg_pool(jnp.abs(gray - reference), block)
+        measure = resample.avg_pool_rw(jnp.abs(gray - reference), block)
         keep_blocks = (
             jnp.minimum(jnp.floor(measure * 255.0), s.detection_levels)
             / s.detection_levels

@@ -104,6 +104,13 @@ def remap(
     On TPU, frame-sized warps dispatch to the gather-free Pallas kernel
     (ops/tpu_kernels/warp.py); the XLA gather path below is the oracle and
     the CPU/small-image path.
+
+    Batched (vmapped) behaviour, measured r3 on v5e at 1080p: the Pallas
+    kernel runs 0.56 ms/frame solo and ~1.34 ms/frame at batch 8 (the 4x
+    block-fetch amplification starts binding); larger tiles (256^2) spill
+    VMEM and are ~3x slower; the XLA gather path at batch 8 faults this
+    environment's TPU backend outright — keep the Pallas dispatch for
+    batched serving.
     """
     if _pallas_eligible(img, sample_map):
         from livevisionkit_tpu.ops.tpu_kernels import warp as pwarp
