@@ -19,8 +19,13 @@ import jax.numpy as jnp
 
 
 def _pallas_eligible(h: int, w: int, force: str | None) -> bool:
-    """Large TPU frames take the single-pass Pallas kernel (the XLA stencil
-    re-reads the shifted views from HBM: 3.1 ms vs ~0.6 ms at 4K)."""
+    """Large TPU frames take the single-pass Pallas kernel.
+
+    Measured at 4K on v5e (r3): Pallas 2.0 ms; this XLA stencil 3.1 ms;
+    a 2D-per-plane restructuring 2.6 ms; dropping the cross-channel lobe
+    max (NOT reference parity) 1.3 ms — the (1, H, W) -> (C, H, W) lobe
+    broadcast is what XLA refuses to fuse into one pass, so the Pallas
+    kernel stays the best conforming implementation."""
     force = (os.environ.get("LVK_RCAS", "") if force is None else force).lower()
     if force == "xla":
         return False

@@ -44,6 +44,16 @@ def _assert_cpu():
     yield
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches():
+    """Drop compiled-executable caches between modules: a full-suite run
+    accumulates hundreds of jitted programs and the CPU backend has been
+    seen to segfault deep into the run (r3, during tracing in module ~25);
+    bounding cache growth keeps the suite runnable in one process."""
+    yield
+    jax.clear_caches()
+
+
 # ---------------------------------------------------------------------------
 # Fast tier: `pytest -m "not slow"`; the full suite takes ~20-25 min on the
 # virtual CPU mesh.  Slow tests carry @pytest.mark.slow AT THE TEST SITE
