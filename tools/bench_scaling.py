@@ -59,6 +59,9 @@ def main() -> None:
     ap.add_argument("--streams", default="1,2,4,8")
     ap.add_argument("--json-out", default=None,
                     help="also append result lines to this file")
+    ap.add_argument("--base-ms", type=float, default=None,
+                    help="reference t(S=1) ms for the efficiency column "
+                    "when running a single S in isolation")
     args = ap.parse_args()
 
     if args.mesh:
@@ -105,7 +108,7 @@ def main() -> None:
                          format=lvk.PixelFormat.YUV)
 
     results = []
-    base_ms = None
+    base_ms = args.base_ms
     for s_count in sizes:
         if args.mesh and s_count > len(jax.devices()):
             log(f"S={s_count}: skipped (only {len(jax.devices())} devices)")
