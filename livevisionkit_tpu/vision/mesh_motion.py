@@ -23,6 +23,16 @@ into the per-frame step (the reference pays a CPU round-trip here, SURVEY
 §3.2).  Robustness to outlier matches comes from IRLS reweighting with the
 same truncated-quadratic kernel as the RANSAC stage.
 
+On the rigidity term: the reference thins its local-smoothness constraints
+to frame edges + a checkerboard + sparse 3-wide quads
+(generate_mesh_constraints, FrameTracker.cpp:406-418) because every
+constraint row costs its CPU solver assembly time and triplets.  A dense
+first-difference stencil is the degenerate-free superset of that pattern
+(every edge constrained, same null space) and costs the SAME two tensor
+ops per CG iteration here regardless of density — thinning would save
+nothing on a VPU and only weaken the regularization, so the sparsity
+pattern is deliberately not reproduced.
+
 Convention: the mesh is solved in NODE space (Hm+1? no — (Hm, Wm) nodes
 corner-aligned over the detection frame, matching WarpField), with offsets
 in detection-frame pixels during the solve, normalized on output.
