@@ -105,12 +105,17 @@ def remap(
     (ops/tpu_kernels/warp.py); the XLA gather path below is the oracle and
     the CPU/small-image path.
 
-    Batched (vmapped) behaviour, measured r3 on v5e at 1080p: the Pallas
-    kernel runs 0.56 ms/frame solo and ~1.34 ms/frame at batch 8 (the 4x
-    block-fetch amplification starts binding); larger tiles (256^2) spill
-    VMEM and are ~3x slower; the XLA gather path at batch 8 faults this
-    environment's TPU backend outright — keep the Pallas dispatch for
-    batched serving.
+    Batched (vmapped) behaviour, r3 on v5e at 1080p: vmapping the solo
+    Pallas path costs ~1.5 ms/stream at batch 8 (vs 0.62 solo) because its
+    mean-shift removal is a per-stream `lax.dynamic_slice`, which XLA lowers
+    as a gather under vmap — measured ~5.7 ms extra at S=8 even with
+    lane-aligned offsets, and sequential/unrolled per-stream slices are no
+    better (misaligned HBM slice starts).  `remap` therefore wires a
+    `custom_vmap` rule that dispatches batched calls to
+    `pallas_remap_batched`, which applies per-stream shifts through
+    scalar-prefetched index maps instead (see its docstring).  The XLA
+    gather path at batch 8 faults this environment's TPU backend outright —
+    keep the Pallas dispatch for batched serving.
     """
     if _pallas_eligible(img, sample_map):
         from livevisionkit_tpu.ops.tpu_kernels import warp as pwarp
@@ -118,10 +123,51 @@ def remap(
         # Forced-on CPU (LVK_REMAP=pallas) runs the kernel interpreted so the
         # dispatch path itself is testable off-TPU.
         interpret = jax.default_backend() != "tpu"
-        return pwarp.pallas_remap(
-            img, sample_map, fill=fill, interpret=interpret
-        ).astype(img.dtype)
+        squeeze = img.ndim == 2
+        img3 = img[None] if squeeze else img
+        h, w = img3.shape[-2:]
+        out = _pallas_core(interpret)(img3.astype(jnp.float32), sample_map)
+        out = pwarp._apply_fill(out, sample_map, (h, w), fill, jnp.float32)
+        out = out.astype(img.dtype)
+        return out[0] if squeeze else out
     return bilinear_sample(img, sample_map[0], sample_map[1], fill=fill)
+
+
+def _pallas_core(interpret: bool):
+    """custom_vmap-wrapped Pallas warp core (unfilled), cached per mode.
+
+    Solo calls run pallas_remap; `jax.vmap` over streams (the serving DP
+    axis, parallel/streams.py) routes to pallas_remap_batched via the rule
+    below instead of the default pallas vmap lifting, avoiding the batched
+    mean-shift gather described in `remap`'s docstring.
+    """
+    core = _PALLAS_CORE_CACHE.get(interpret)
+    if core is not None:
+        return core
+    from jax import custom_batching
+
+    from livevisionkit_tpu.ops.tpu_kernels import warp as pwarp
+
+    @custom_batching.custom_vmap
+    def core(img, smap):
+        return pwarp.pallas_remap(
+            img, smap, fill=None, fill_mode=False, interpret=interpret
+        )
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, img_b, smap_b):
+        img_bat, smap_bat = in_batched
+        if not img_bat:
+            img_b = jnp.broadcast_to(img_b[None], (axis_size,) + img_b.shape)
+        if not smap_bat:
+            smap_b = jnp.broadcast_to(smap_b[None], (axis_size,) + smap_b.shape)
+        return pwarp.pallas_remap_batched(img_b, smap_b, interpret=interpret), True
+
+    _PALLAS_CORE_CACHE[interpret] = core
+    return core
+
+
+_PALLAS_CORE_CACHE: dict = {}
 
 
 def identity_map(size: tuple[int, int], dtype=jnp.float32) -> jax.Array:

@@ -409,6 +409,257 @@ def pallas_remap(
     return out[0] if squeeze else out
 
 
+def _kernel_batched(
+    q_ref,  # (S, 2) scalar-prefetch: per-stream block offsets (+n0), y then x
+    xmap_ref,  # (1, TH, TW)
+    *refs,
+    th: int,
+    tw: int,
+    b: int,
+    m_eff: int,
+    n_cb: int,
+):
+    """Batched variant of _kernel: one (stream, tile_y, tile_x, channel) grid
+    step.  The per-stream integer mean shift is applied at BLOCK granularity
+    through the scalar-prefetched index maps (q_ref) that selected this
+    step's source blocks, so the kernel itself only sees the residual
+    (|residual| <= b/2), absorbed by the widened margin m_eff = margin + b/2.
+    Sources arrive as a 4x4 block neighbourhood of (b, b) blocks (2x2 tiles
+    of the (th, tw) = (2b, 2b) output tile)."""
+    vg_refs = refs[:n_cb]
+    src_refs = refs[n_cb : n_cb + 16]
+    out_ref, s_s, v_s, tmp_s = refs[n_cb + 16 : n_cb + 20]
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+
+    for bi in range(4):
+        for bj in range(4):
+            s_s[bi * b : (bi + 1) * b, bj * b : (bj + 1) * b] = src_refs[
+                bi * 4 + bj
+            ][0, 0]
+    for bj in range(n_cb):
+        v_s[:, bj * b : (bj + 1) * b] = vg_refs[bj][0]
+
+    twe = tw + 2 * m_eff + 2
+
+    # ---- vertical pass ---------------------------------------------------
+    ly = v_s[:, 0:twe]  # shift-removed source rows per (out row, src col)
+    row0 = (ty * th).astype(jnp.float32) - (m_eff + 1)
+    i_iota = lax.broadcasted_iota(jnp.int32, (th, twe), 0).astype(jnp.float32)
+    s_f = ly - row0 - i_iota
+    s_f = jnp.clip(s_f, 1.0, float(2 * m_eff + 1) - 1e-3)
+    s0 = jnp.floor(s_f)
+    fy = s_f - s0
+    s0i = s0.astype(jnp.int32)
+    s_lo = jnp.min(s0i)
+    s_hi = jnp.max(s0i)
+
+    tmp_s[:, 0:twe] = jnp.zeros((th, twe), jnp.float32)
+    for s in range(1, 2 * m_eff + 2):
+        @pl.when((s >= s_lo) & (s <= s_hi))
+        def _(s=s):
+            mk = (s0i == s).astype(jnp.float32)
+            wa = mk * (1.0 - fy)
+            wb = mk * fy
+            tmp_s[:, 0:twe] += (
+                wa * s_s[s : s + th, 0:twe] + wb * s_s[s + 1 : s + 1 + th, 0:twe]
+            )
+
+    # ---- horizontal pass -------------------------------------------------
+    lx = xmap_ref[0]
+    col0 = (tx * tw).astype(jnp.float32) - (m_eff + 1)
+    j_iota = lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
+    t_f = lx - col0 - j_iota
+    t_f = jnp.clip(t_f, 1.0, float(2 * m_eff + 1) - 1e-3)
+    t0 = jnp.floor(t_f)
+    fx = t_f - t0
+    t0i = t0.astype(jnp.int32)
+    t_lo = jnp.min(t0i)
+    t_hi = jnp.max(t0i)
+
+    out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    for s in range(1, 2 * m_eff + 2):
+        @pl.when((s >= t_lo) & (s <= t_hi))
+        def _(s=s):
+            mk = (t0i == s).astype(jnp.float32)
+            out_ref[0, 0] += mk * (
+                (1.0 - fx) * tmp_s[:, s : s + tw] + fx * tmp_s[:, s + 1 : s + 1 + tw]
+            )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile", "margin", "max_shift", "interpret"),
+)
+def pallas_remap_batched(
+    src_b: jax.Array,  # (S, C, H, W)
+    sample_map_b: jax.Array,  # (S, 2, H, W) absolute (y, x)
+    tile: int = 256,
+    margin: int = 32,
+    max_shift: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Batched (multi-stream) warp: the S-dependence fix for serving.
+
+    The solo pallas_remap removes each warp's mean integer displacement with
+    one `lax.dynamic_slice` — which under `vmap` (per-stream offsets) XLA
+    lowers as a gather costing ~5.7 ms extra at S=8/1080p on v5e, even with
+    lane-aligned offsets (measured r3; see ops/remap.py docstring).  Here the
+    mean shift never touches XLA: the (S, 2) block offsets ride in as
+    scalar-prefetch values read by the Pallas index maps, so each stream's
+    tile fetches its source blocks pre-shifted at block granularity
+    (b = tile/2) and the in-kernel shift-select absorbs the residual
+    (|r| <= b/2) through a widened margin m_eff = margin + b/2.  The XLA
+    pre-pass is then a single STATIC edge pad — batching-friendly.
+
+    Numerics: identical to pallas_remap except (a) the shift-select clip
+    range is [1, 2*m_eff+1] (wider; only affects beyond-margin degradation),
+    and (b) the separability linearization point is offset by the residual
+    (exact for piecewise-bilinear mesh fields; O(curvature * (margin+b/2)^2)
+    for perspective warps vs O(curvature * margin^2) solo — zero for the
+    similarity-dominated stabilizer corrections).
+
+    Returns the UNFILLED warp; callers apply border fill via _apply_fill.
+    """
+    S, c, h, w = src_b.shape
+    th = tw = tile
+    b = tile // 2
+    assert 2 * margin + 4 <= b, "2*margin+4 must fit in one half-tile block"
+    m_eff = margin + b // 2
+
+    idm = remap_ops.identity_map((h, w))
+    disp = sample_map_b - idm  # (S, 2, H, W)
+    md = jnp.round(jnp.mean(disp, axis=(2, 3))).astype(jnp.int32)  # (S, 2)
+    md = jnp.clip(md, -max_shift, max_shift)
+    q = (md + b // 2) // b  # per-stream block offsets, floor div
+    n0 = (max_shift + b // 2) // b
+    qp = q + n0  # non-negative block offsets for the index maps
+
+    qb = (q * b).astype(jnp.float32)  # (S, 2) removed shift in px
+    res = md.astype(jnp.float32) - qb  # (S, 2) sub-block residual, |res|<=b/2
+    map_y = sample_map_b[:, 0] - qb[:, 0][:, None, None]
+    map_x = sample_map_b[:, 1] - qb[:, 1][:, None, None]
+
+    # First-order separability correction (see _kernel docstring).  Note the
+    # cross term uses map_x in the shift-removed frame: the horizontal
+    # interpolation happens in that layout, where the sample column sits
+    # res_x away from the output column — the residual belongs in the
+    # linearization (exact for affine/mesh-cell fields, same as solo).
+    mp = jnp.pad(map_y, ((0, 0), (0, 0), (1, 1)), mode="edge")
+    dy_dx = (mp[:, :, 2:] - mp[:, :, :-2]) * 0.5
+    # Full one-sided differences at the boundary columns (edge-padded
+    # central differences halve the slope there, which pollutes both the
+    # edge-band cross term and the halo extrapolation below).
+    dy_dx = jnp.concatenate(
+        [
+            map_y[:, :, 1:2] - map_y[:, :, 0:1],
+            dy_dx[:, :, 1:-1],
+            map_y[:, :, -1:] - map_y[:, :, -2:-1],
+        ],
+        axis=2,
+    )
+    vmap_y = map_y - dy_dx * (map_x - idm[1])
+    # Clamp into the halo reach, mirroring the solo kernel's bounds shifted
+    # by the per-stream residual (solo removes the mean exactly, res == 0).
+    ry = res[:, 0][:, None, None]
+    rx = res[:, 1][:, None, None]
+    vmap_y = jnp.clip(vmap_y, ry + (2.0 - margin), ry + (h - 3.0 + margin))
+    map_x = jnp.clip(map_x, rx + (2.0 - margin), rx + (w - 3.0 + margin))
+
+    h2, w2 = _round_up(h, th), _round_up(w, tw)
+    gh, gw = h2 // th, w2 // tw
+
+    # ---- static padded source in the block-offset layout ------------------
+    # Stored row of original row r is r + p0y; tile ty of stream s fetches
+    # row-blocks (2*ty + qp[s,0] + bi) * b, whose stored start equals the
+    # shift-removed window start ty*th - m_eff - 1 + q*b + p0y exactly.
+    p0y = (m_eff + 1) + n0 * b
+    p0x = (m_eff + 1) + n0 * b
+    hbig = b * (2 * gh + 2 * n0 + 2)
+    wbig = b * (2 * gw + 2 * n0 + 2)
+    big = jnp.pad(
+        src_b.astype(jnp.float32),
+        ((0, 0), (0, 0), (p0y, hbig - h - p0y), (p0x, wbig - w - p0x)),
+        mode="edge",
+    )
+
+    # Vertical map strip, (out row, shift-removed source col) with the col
+    # origin at -(m_eff+1): tile tx reads col-blocks 2*tx + {0..n_cb-1}.
+    n_cb = -(-(tw + 2 * m_eff + 2) // b) + 1  # col-blocks covering twe
+    wv = b * (2 * gw + n_cb)
+    d_v = vmap_y - idm[0]
+    # Column halo by LINEAR extrapolation, not replication: the strip is
+    # indexed by (shift-removed) sample column, so entries up to
+    # margin + |res| + 1 columns beyond the frame get read for edge-band
+    # samples.  Replication there costs O(halo_depth * dy_dx) px of vertical
+    # coordinate error (the solo kernel's halo is only `margin` deep, where
+    # this is negligible); extrapolation makes the halo exact for affine
+    # fields and first-order for general ones.
+    lw = m_eff + 1
+    rw = wv - w - lw
+    lslope = d_v[:, :, 1:2] - d_v[:, :, 0:1]
+    rslope = d_v[:, :, -1:] - d_v[:, :, -2:-1]
+    lhalo = d_v[:, :, 0:1] + jnp.arange(-lw, 0, dtype=jnp.float32) * lslope
+    rhalo = d_v[:, :, -1:] + jnp.arange(1, rw + 1, dtype=jnp.float32) * rslope
+    d_v = jnp.concatenate([lhalo, d_v, rhalo], axis=2)
+    d_v = jnp.pad(d_v, ((0, 0), (0, h2 - h), (0, 0)), mode="edge")
+    vg = lax.broadcasted_iota(jnp.float32, (h2, wv), 0)[None] + d_v
+    d_x = map_x - idm[1]
+    d_x = jnp.pad(d_x, ((0, 0), (0, h2 - h), (0, w2 - w)), mode="edge")
+    xg = lax.broadcasted_iota(jnp.float32, (h2, w2), 1)[None] + d_x
+
+    kernel = functools.partial(
+        _kernel_batched, th=th, tw=tw, b=b, m_eff=m_eff, n_cb=n_cb
+    )
+    vg_specs = [
+        pl.BlockSpec(
+            (1, th, b),
+            functools.partial(
+                lambda s, ty, tx, ci, q_ref, dj: (s, ty, 2 * tx + dj), dj=bj
+            ),
+        )
+        for bj in range(n_cb)
+    ]
+    src_specs = [
+        pl.BlockSpec(
+            (1, 1, b, b),
+            functools.partial(
+                lambda s, ty, tx, ci, q_ref, di, dj: (
+                    s, ci, 2 * ty + q_ref[s, 0] + di, 2 * tx + q_ref[s, 1] + dj
+                ),
+                di=bi, dj=bj,
+            ),
+        )
+        for bi in range(4)
+        for bj in range(4)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(S, gh, gw, c),
+        in_specs=[
+            pl.BlockSpec((1, th, tw), lambda s, ty, tx, ci, q_ref: (s, ty, tx)),
+            *vg_specs,
+            *src_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, th, tw),
+            lambda s, ty, tx, ci, q_ref: (s, ci, ty, tx),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4 * b, 4 * b), jnp.float32),
+            pltpu.VMEM((th, n_cb * b), jnp.float32),
+            pltpu.VMEM((th, _round_up(tw + 2 * m_eff + 2, 128)), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S, c, h2, w2), jnp.float32),
+        interpret=interpret,
+    )(qp, xg, *([vg] * n_cb), *([big] * 16))
+    return out[:, :, :h, :w]
+
+
 def _apply_fill(out, sample_map, size, fill, dtype, floor_inside=False):
     if fill is None:
         return out
