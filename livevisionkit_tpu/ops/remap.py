@@ -140,6 +140,12 @@ def _pallas_core(interpret: bool):
     axis, parallel/streams.py) routes to pallas_remap_batched via the rule
     below instead of the default pallas vmap lifting, avoiding the batched
     mean-shift gather described in `remap`'s docstring.
+
+    Constraint (r3 advisor): `custom_vmap` does not compose with autodiff —
+    this path raises under jax.grad/jvp.  Nothing in the engine
+    differentiates through warps today; if that ever changes, route
+    differentiated calls through `bilinear_sample` (the XLA gather path is
+    grad-complete) instead of this core.
     """
     core = _PALLAS_CORE_CACHE.get(interpret)
     if core is not None:

@@ -1,6 +1,7 @@
 """Pallas warp kernel vs the XLA gather remap (interpret mode on CPU)."""
 
 import pytest
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -127,6 +128,103 @@ def test_remap_dispatch_override(rng, monkeypatch):
     got = remap_ops.remap(src, smap, fill=0.25)
     err = np.abs(np.asarray(ref) - np.asarray(got))[16:-16, 16:-16]
     assert err.max() < 1e-3, err.max()
+
+
+def _batched_case(rng, hF=96, wF=128, channels=2):
+    """Three streams with distinct mean shifts (block-offset machinery) and
+    distinct rotation/scale residuals (in-kernel shift-select)."""
+    srcs = jnp.stack(
+        [
+            jnp.stack([fixtures.make_texture(hF, wF, rng) for _ in range(channels)])
+            for _ in range(3)
+        ]
+    )
+    poses = [
+        Homography.from_similarity(
+            jnp.float32(1.0), jnp.float32(0.0), jnp.float32(21.0), jnp.float32(-13.0)
+        ),
+        Homography.from_similarity(
+            jnp.float32(1.01), jnp.float32(0.02), jnp.float32(-7.0), jnp.float32(4.0)
+        ),
+        Homography.from_similarity(
+            jnp.float32(0.99), jnp.float32(-0.015), jnp.float32(0.0), jnp.float32(30.0)
+        ),
+    ]
+    smaps = jnp.stack([p.sample_map((hF, wF)) for p in poses])
+    return srcs, smaps
+
+
+def test_batched_matches_oracle(rng):
+    """ADVICE r3 (medium): interpret-mode parity for pallas_remap_batched —
+    guards the scalar-prefetch block-offset index maps and the widened-margin
+    shift-select against regression.  Per-stream translations exercise
+    distinct block offsets; rotation/scale streams exercise the in-kernel
+    residual path."""
+    srcs, smaps = _batched_case(rng)
+    got = np.asarray(
+        pwarp.pallas_remap_batched(srcs, smaps, tile=64, margin=8, interpret=True)
+    )
+    ref = np.asarray(
+        jax.vmap(
+            lambda im, sm: remap_ops.bilinear_sample(im, sm[0], sm[1], fill=None)
+        )(srcs, smaps)
+    )
+    # Outside-the-source samples take fill in real use (the batched kernel
+    # returns the unfilled warp with its own clamp band) — mask to in-range.
+    sm = np.asarray(smaps)
+    h, w = srcs.shape[-2:]
+    inside = (
+        (sm[:, 0] >= 1) & (sm[:, 0] <= h - 2) & (sm[:, 1] >= 1) & (sm[:, 1] <= w - 2)
+    )[:, None]
+    err = (np.abs(ref - got) * inside)[..., 12:-12, 12:-12]
+    # Same first-order separability bound as the solo kernel on textures.
+    assert err.max() < 2e-2, err.max()
+
+
+def test_batched_matches_solo(rng):
+    """Batched vs solo kernel on the same rotation warp: the two mean-shift
+    strategies (dynamic-slice vs block offsets) must agree."""
+    srcs, smaps = _batched_case(rng)
+    got = np.asarray(
+        pwarp.pallas_remap_batched(srcs, smaps, tile=64, margin=8, interpret=True)
+    )
+    for s in range(srcs.shape[0]):
+        solo = np.asarray(
+            pwarp.pallas_remap(
+                srcs[s], smaps[s], fill=None, fill_mode=False, interpret=True,
+                tile=(64, 64), margin=16,
+            )
+        )
+        err = np.abs(solo - got[s])[..., 12:-12, 12:-12]
+        assert err.max() < 2e-2, (s, err.max())
+
+
+def test_remap_batched_dispatch(rng, monkeypatch):
+    """ADVICE r3 (medium): jax.vmap(ops.remap.remap) must route through the
+    custom_vmap rule into pallas_remap_batched (not the default pallas vmap
+    lifting), and the result must match the vmapped XLA oracle."""
+    srcs, smaps = _batched_case(rng)
+    calls = []
+    orig = pwarp.pallas_remap_batched
+
+    def spy(src_b, smap_b, **kw):
+        calls.append(src_b.shape)
+        kw.update(tile=64, margin=8)  # small blocks: fast in interpret mode
+        return orig(src_b, smap_b, **kw)
+
+    monkeypatch.setattr(pwarp, "pallas_remap_batched", spy)
+    monkeypatch.setenv("LVK_REMAP", "pallas")
+    got = np.asarray(
+        jax.vmap(lambda im, sm: remap_ops.remap(im, sm, fill=0.25))(srcs, smaps)
+    )
+    assert calls == [srcs.shape], "custom_vmap rule did not dispatch batched"
+    ref = np.asarray(
+        jax.vmap(
+            lambda im, sm: remap_ops.bilinear_sample(im, sm[0], sm[1], fill=0.25)
+        )(srcs, smaps)
+    )
+    err = np.abs(ref - got)[..., 12:-12, 12:-12]
+    assert err.max() < 2e-2, err.max()
 
 
 def test_easu_mode_matches_easu_remap(rng):
