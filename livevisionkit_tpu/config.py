@@ -181,6 +181,11 @@ class StabilizationFilterSettings:
     # bandwidth 4x, which dominates the step cost at high stream counts
     # (r3: S=8 vmap batch spent ~7 ms/step on the f32 queue alone).
     queue_dtype: str = "uint8"
+    # Sampling filter of the corrective warp ("easu" | "bilinear").  The
+    # reference always EASU-filters its warps (WarpMesh::apply →
+    # easu_remap, WarpMesh.cpp:183-223 / FSR.cl:362-403), so "easu" is the
+    # output-quality parity default; "bilinear" is the cheaper option.
+    warp_filter: str = "easu"
 
 
 @dataclass(frozen=True)

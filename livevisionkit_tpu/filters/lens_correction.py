@@ -31,6 +31,9 @@ class LensCorrectionFilter(VideoFilter):
     # alpha=1 keeps all source pixels (with curved borders visible).
     alpha: float = 0.0
     field_shape: tuple[int, int] = (33, 33)
+    # "easu" = reference parity (LCFilter applies through WarpMesh::apply,
+    # LCFilter.cpp:185-191, which always EASU-filters); "bilinear" cheaper.
+    warp_filter: str = "easu"
 
     def init(self, spec: FrameSpec) -> WarpField:
         return undistort_field(
@@ -40,11 +43,17 @@ class LensCorrectionFilter(VideoFilter):
     def step(self, state: Any, frame: Frame) -> tuple[Any, Frame]:
         field: WarpField = state
         if frame.alpha is None:
-            return state, frame.with_pixels(field.apply(frame.pixels, fill=0.0))
+            return state, frame.with_pixels(
+                field.apply(
+                    frame.pixels, fill=0.0, filter_mode=self.warp_filter,
+                    fmt=frame.format,
+                )
+            )
         # Alpha follows the colour geometry (data/frame.py contract): undistort
         # it in the same gather as the colour planes, like the stabilizer's
         # corrective warp does.
         warped = field.apply(
-            jnp.concatenate([frame.pixels, frame.alpha[None]]), fill=0.0
+            jnp.concatenate([frame.pixels, frame.alpha[None]]), fill=0.0,
+            filter_mode=self.warp_filter, fmt=frame.format,
         )
         return state, frame.replace(pixels=warped[:-1], alpha=warped[-1])

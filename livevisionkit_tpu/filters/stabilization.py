@@ -202,15 +202,22 @@ class StabilizationFilter(VideoFilter):
             )
         out_alpha = delayed.alpha
         if self.enabled or s.crop_output:
+            # warp_filter="easu" is reference parity: every corrective warp
+            # there goes through the fused EASU kernel (WarpMesh.cpp:183-223
+            # → FSR.cl:362-403).  fmt drives EASU's luma selection.
             if out_alpha is None:
-                out_pixels = warp.apply(delayed.pixels, fill=0.0)
+                out_pixels = warp.apply(
+                    delayed.pixels, fill=0.0,
+                    filter_mode=s.warp_filter, fmt=delayed.format,
+                )
             else:
                 # Warp alpha together with the colour planes: one shared
                 # gather (the reference leaves alpha untouched in the OBS
                 # frame, FrameIngest DirectIngest notes; warping it is the
                 # correct behaviour for standalone compositing output).
                 warped = warp.apply(
-                    jnp.concatenate([delayed.pixels, out_alpha[None]]), fill=0.0
+                    jnp.concatenate([delayed.pixels, out_alpha[None]]),
+                    fill=0.0, filter_mode=s.warp_filter, fmt=delayed.format,
                 )
                 out_pixels, out_alpha = warped[:-1], warped[-1]
         else:

@@ -169,7 +169,18 @@ class Homography(struct.PyTreeNode):
         return jnp.stack([sy, sx])
 
     def warp(
-        self, img: jax.Array, fill: jax.Array | float | None = 0.0
+        self,
+        img: jax.Array,
+        fill: jax.Array | float | None = 0.0,
+        filter_mode: str = "easu",
+        fmt=None,
     ) -> jax.Array:
-        """Warp (C, H, W) or (H, W) image by this homography."""
-        return remap_ops.remap(img, self.sample_map(img.shape[-2:]), fill=fill)
+        """Warp (C, H, W) or (H, W) image by this homography.
+
+        filter_mode defaults to "easu": the reference's homography warp path
+        is the fused easu_remap_homography kernel (Functions/Image.cpp:84-138
+        → FSR.cl:407-452), i.e. EASU-filtered like WarpMesh::apply."""
+        return remap_ops.remap(
+            img, self.sample_map(img.shape[-2:]), fill=fill,
+            filter_mode=filter_mode, fmt=fmt,
+        )

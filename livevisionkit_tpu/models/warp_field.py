@@ -265,11 +265,23 @@ class WarpField(struct.PyTreeNode):
         img: jax.Array,
         fill: jax.Array | float | None = 0.0,
         exact_2x2: bool = True,
+        filter_mode: str = "easu",
+        fmt=None,
     ) -> jax.Array:
         """Warp (C, H, W) / (H, W) image by this field (reference
         WarpMesh::apply, WarpMesh.cpp:183-223).  2x2 fields take the exact
-        homography path like the reference (:196-218)."""
+        homography path like the reference (:196-218).
+
+        filter_mode defaults to "easu" because the reference's apply
+        *always* remaps through the fused EASU kernel (WarpMesh.cpp:183-223
+        → Functions/Image.cpp:28-81 → FSR.cl:362-403); "bilinear" is the
+        cheaper non-parity option."""
         size = img.shape[-2:]
         if exact_2x2 and self.field_shape == (2, 2):
-            return self.to_homography(size).warp(img, fill=fill)
-        return remap_ops.remap(img, self.sample_map(size), fill=fill)
+            return self.to_homography(size).warp(
+                img, fill=fill, filter_mode=filter_mode, fmt=fmt
+            )
+        return remap_ops.remap(
+            img, self.sample_map(size), fill=fill, filter_mode=filter_mode,
+            fmt=fmt,
+        )

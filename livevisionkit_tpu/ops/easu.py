@@ -198,6 +198,9 @@ def easu_remap(
     easu_ok = (x0i >= 1) & (y0i >= 1) & (x0i < w - 4) & (y0i < h - 4)
     inside = (x0i >= 0) & (y0i >= 0) & (x0i < w) & (y0i < h)
     nearest = px["f"]
+    if fill is None:  # BORDER_REPLICATE: nearest everywhere outside
+        out = jnp.where(easu_ok, easu_val, nearest)
+        return out[0] if squeeze else out
     fill_arr = jnp.asarray(fill, img.dtype)
     if fill_arr.ndim == 1:
         fill_arr = fill_arr.reshape((c,) + (1,) * ys.ndim)

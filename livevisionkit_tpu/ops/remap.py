@@ -94,12 +94,23 @@ def remap(
     img: jax.Array,
     sample_map: jax.Array,
     fill: jax.Array | float | None = 0.0,
+    filter_mode: str = "bilinear",
+    fmt=None,
 ) -> jax.Array:
     """Backward-warp (C, H, W) or (H, W) image by an absolute-coordinate map.
 
     sample_map: (2, H', W') with plane 0 = source y, plane 1 = source x.
-    Equivalent of lvk::remap(offset_map) (Functions/Image.cpp:28-81) with
-    bilinear filtering in place of EASU.
+    Equivalent of lvk::remap(offset_map) (Functions/Image.cpp:28-81).
+
+    filter_mode selects the sampling filter: "easu" is the reference-parity
+    default at the call sites that mirror WarpMesh::apply (the reference
+    *always* remaps through the fused EASU kernel, WarpMesh.cpp:183-223 →
+    FSR.cl:362-403); "bilinear" is the cheaper option.  `fmt` is the
+    PixelFormat used for EASU's luma selection (default YUV).  Border
+    deviation in the Pallas EASU path: the reference's nearest-neighbour
+    ring just inside the border (FSR.cl:385-397) is approximated by EASU
+    with edge-clamped taps in the <=5-px sample-space ring (the fill region
+    itself is exact); the XLA path reproduces the ring exactly.
 
     On TPU, frame-sized warps dispatch to the gather-free Pallas kernel
     (ops/tpu_kernels/warp.py); the XLA gather path below is the oracle and
@@ -117,6 +128,12 @@ def remap(
     gather path at batch 8 faults this environment's TPU backend outright —
     keep the Pallas dispatch for batched serving.
     """
+    if filter_mode not in ("bilinear", "easu"):
+        raise ValueError(f"unknown filter_mode {filter_mode!r}")
+    if filter_mode == "easu" and fmt is None:
+        from livevisionkit_tpu.types import PixelFormat
+
+        fmt = PixelFormat.YUV
     if _pallas_eligible(img, sample_map):
         from livevisionkit_tpu.ops.tpu_kernels import warp as pwarp
 
@@ -126,14 +143,23 @@ def remap(
         squeeze = img.ndim == 2
         img3 = img[None] if squeeze else img
         h, w = img3.shape[-2:]
-        out = _pallas_core(interpret)(img3.astype(jnp.float32), sample_map)
-        out = pwarp._apply_fill(out, sample_map, (h, w), fill, jnp.float32)
+        out = _pallas_core(interpret, filter_mode, fmt)(
+            img3.astype(jnp.float32), sample_map
+        )
+        out = pwarp._apply_fill(
+            out, sample_map, (h, w), fill, jnp.float32,
+            floor_inside=(filter_mode == "easu"),
+        )
         out = out.astype(img.dtype)
         return out[0] if squeeze else out
+    if filter_mode == "easu":
+        from livevisionkit_tpu.ops import easu as easu_ops
+
+        return easu_ops.easu_remap(img, sample_map, fmt=fmt, fill=fill)
     return bilinear_sample(img, sample_map[0], sample_map[1], fill=fill)
 
 
-def _pallas_core(interpret: bool):
+def _pallas_core(interpret: bool, filter_mode: str = "bilinear", fmt=None):
     """custom_vmap-wrapped Pallas warp core (unfilled), cached per mode.
 
     Solo calls run pallas_remap; `jax.vmap` over streams (the serving DP
@@ -147,7 +173,8 @@ def _pallas_core(interpret: bool):
     differentiated calls through `bilinear_sample` (the XLA gather path is
     grad-complete) instead of this core.
     """
-    core = _PALLAS_CORE_CACHE.get(interpret)
+    key = (interpret, filter_mode, fmt)
+    core = _PALLAS_CORE_CACHE.get(key)
     if core is not None:
         return core
     from jax import custom_batching
@@ -157,7 +184,8 @@ def _pallas_core(interpret: bool):
     @custom_batching.custom_vmap
     def core(img, smap):
         return pwarp.pallas_remap(
-            img, smap, fill=None, fill_mode=False, interpret=interpret
+            img, smap, fill=None, fill_mode=False, interpret=interpret,
+            filter_mode=filter_mode, fmt=fmt,
         )
 
     @core.def_vmap
@@ -167,9 +195,23 @@ def _pallas_core(interpret: bool):
             img_b = jnp.broadcast_to(img_b[None], (axis_size,) + img_b.shape)
         if not smap_bat:
             smap_b = jnp.broadcast_to(smap_b[None], (axis_size,) + smap_b.shape)
+        if filter_mode == "easu":
+            # No batched EASU kernel yet: run the solo kernel per stream
+            # under a sequential lax.map (documented fallback — each
+            # iteration is the full solo pallas path incl. its per-stream
+            # dynamic-slice mean shift, which is slice-not-gather when the
+            # batch axis is a scan axis).
+            out = jax.lax.map(
+                lambda args: pwarp.pallas_remap(
+                    args[0], args[1], fill=None, fill_mode=False,
+                    interpret=interpret, filter_mode="easu", fmt=fmt,
+                ),
+                (img_b, smap_b),
+            )
+            return out, True
         return pwarp.pallas_remap_batched(img_b, smap_b, interpret=interpret), True
 
-    _PALLAS_CORE_CACHE[interpret] = core
+    _PALLAS_CORE_CACHE[key] = core
     return core
 
 

