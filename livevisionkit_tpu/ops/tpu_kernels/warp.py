@@ -19,10 +19,17 @@ predication are fine):
      4 source blocks per tile instead of the 9 a 3x3 halo fetch needs —
      4x total HBM traffic instead of 9x.
   3. Sampling is a two-pass separable resample; each pass is shift-select:
-     a statically unrolled loop over the +/-margin shift window where each
-     iteration is `pl.when`-guarded by the tile's ACTUAL residual range
-     (computed in-kernel) — typical tiles execute 2-6 iterations of masked
-     lerps on statically sliced rows/columns, pure VPU work.
+     a `lax.fori_loop` over the tile's ACTUAL residual shift range
+     [s_lo, s_hi] (computed in-kernel) — typical tiles execute 2-6
+     iterations of masked lerps, pure VPU work.  The vertical pass slices
+     rows at the dynamic shift (`pl.ds` on the sublane dim); the horizontal
+     pass rotates columns with `pltpu.roll` (dynamic lane rotate) and takes
+     static slices of the rolled plane.  (r4: this replaced r2's statically
+     unrolled `pl.when` chain over the full +/-margin window — on v5e the
+     unrolled form's cost scaled with CODE size, ~0.3 us per *skipped*
+     guard region at 1080p tiles — instruction-fetch-bound, ~10 ms/frame in
+     the widened batched kernel; the dynamic-trip form is ~20x faster there
+     and compiles ~10x faster.)
   4. Separability is exact to first order: the vertical map is pre-warped
      by -dY/dx * dx outside the kernel, cancelling the cross term.  The
      residual is O(curvature * margin^2): zero inside mesh cells
@@ -107,16 +114,20 @@ def _kernel(
     for c in range(channels):
         tmp_s[c, :, 0:twe] = jnp.zeros((th, twe), jnp.float32)
 
-    for s in range(1, 2 * m + 2):
-        @pl.when((s >= s_lo) & (s <= s_hi))
-        def _(s=s):
-            mk = (s0i == s).astype(jnp.float32)
-            wa = mk * (1.0 - fy)
-            wb = mk * fy
-            for c in range(channels):
-                rows = s_s[c, s : s + th, 0:twe]
-                rows1 = s_s[c, s + 1 : s + 1 + th, 0:twe]
-                tmp_s[c, :, 0:twe] += wa * rows + wb * rows1
+    def vbody(s, _):
+        mk = (s0i == s).astype(jnp.float32)
+        wa = mk * (1.0 - fy)
+        wb = mk * fy
+        for c in range(channels):
+            # Dynamic sublane rotate (Mosaic requires dynamic slice *offsets*
+            # to be 8-aligned; roll has no such constraint), static slices.
+            r = pltpu.roll(s_s[c, :, :], -s, axis=0)
+            tmp_s[c, :, 0:twe] += (
+                wa * r[0:th, 0:twe] + wb * r[1 : th + 1, 0:twe]
+            )
+        return 0
+
+    lax.fori_loop(s_lo, s_hi + 1, vbody, 0)
 
     # ---- horizontal pass -------------------------------------------------
     # out(i, j) = tmp(i, lx(i, j)); tmp col 0 is global col tx*TW - m - 1.
@@ -133,16 +144,16 @@ def _kernel(
 
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    for s in range(1, 2 * m + 2):
-        @pl.when((s >= t_lo) & (s <= t_hi))
-        def _(s=s):
-            mk = (t0i == s).astype(jnp.float32)
-            wa = mk * (1.0 - fx)
-            wb = mk * fx
-            for c in range(channels):
-                cols = tmp_s[c, :, s : s + tw]
-                cols1 = tmp_s[c, :, s + 1 : s + 1 + tw]
-                out_ref[c, :, :] += wa * cols + wb * cols1
+    def hbody(s, _):
+        mk = (t0i == s).astype(jnp.float32)
+        wa = mk * (1.0 - fx)
+        wb = mk * fx
+        for c in range(channels):
+            r = pltpu.roll(tmp_s[c, :, :], -s, axis=1)
+            out_ref[c, :, :] += wa * r[:, 0:tw] + wb * r[:, 1 : tw + 1]
+        return 0
+
+    lax.fori_loop(t_lo, t_hi + 1, hbody, 0)
 
 
 def _easu_kernel(
@@ -192,16 +203,19 @@ def _easu_kernel(
 
     # r_s layout: (4 row taps, C+1 planes, TH, TWE); plane C carries fy.
     r_s[...] = jnp.zeros(r_s.shape, r_s.dtype)
-    for s in range(1, 2 * m + 2):
-        @pl.when((s >= s_lo) & (s <= s_hi))
-        def _(s=s):
-            mk = (s0i == s).astype(jnp.float32)
-            for rt, dr in enumerate((-1, 0, 1, 2)):
-                for c in range(channels):
-                    r_s[rt, c, :, 0:twe] += mk * s_s[
-                        c, s + dr : s + dr + th, 0:twe
-                    ]
-            r_s[0, channels, :, 0:twe] += mk * fy  # fy rides along row-tap 0
+
+    def vbody(s, _):
+        mk = (s0i == s).astype(jnp.float32)
+        for c in range(channels):
+            # One sublane rotate aligns row s-1 to row 0; the 4 row taps
+            # are static slices of the rotated plane (dr = rt - 1).
+            r = pltpu.roll(s_s[c, :, :], -(s - 1), axis=0)
+            for rt in range(4):
+                r_s[rt, c, :, 0:twe] += mk * r[rt : rt + th, 0:twe]
+        r_s[0, channels, :, 0:twe] += mk * fy  # fy rides along row-tap 0
+        return 0
+
+    lax.fori_loop(s_lo, s_hi + 1, vbody, 0)
 
     # ---- horizontal alignment: 4x4 tap planes + fx -------------------------
     lx = xmap_ref[...]
@@ -218,17 +232,21 @@ def _easu_kernel(
 
     # t_s layout: (16 taps, C, TH, TW) + fy aligned in the last slot.
     t_s[...] = jnp.zeros(t_s.shape, t_s.dtype)
-    for s in range(1, 2 * m + 2):
-        @pl.when((s >= t_lo) & (s <= t_hi))
-        def _(s=s):
-            mk = (t0i == s).astype(jnp.float32)
-            for rt in range(4):
-                for ct, dc in enumerate((-1, 0, 1, 2)):
-                    for c in range(channels):
-                        t_s[rt * 4 + ct, c, :, :] += mk * r_s[
-                            rt, c, :, s + dc : s + dc + tw
-                        ]
-            t_s[16, 0, :, :] += mk * r_s[0, channels, :, s : s + tw]
+
+    def hbody(s, _):
+        mk = (t0i == s).astype(jnp.float32)
+        # One dynamic roll per (row tap, channel) aligns col s-1 to col 0;
+        # the 4 column taps are then static slices of the rolled plane.
+        for rt in range(4):
+            for c in range(channels):
+                r = pltpu.roll(r_s[rt, c, :, :], -(s - 1), axis=1)
+                for ct in range(4):  # dc = ct - 1; rolled col = dc + 1
+                    t_s[rt * 4 + ct, c, :, :] += mk * r[:, ct : ct + tw]
+        rf = pltpu.roll(r_s[0, channels, :, :], -s, axis=1)
+        t_s[16, 0, :, :] += mk * rf[:, 0:tw]
+        return 0
+
+    lax.fori_loop(t_lo, t_hi + 1, hbody, 0)
 
     # ---- EASU math on the aligned taps -------------------------------------
     # Tap letters on the 4x4 grid (rows -1..2 of floor, cols -1..2):
@@ -419,31 +437,46 @@ def _kernel_batched(
     m_eff: int,
     n_cb: int,
 ):
-    """Batched variant of _kernel: one (stream, tile_y, tile_x, channel) grid
-    step.  The per-stream integer mean shift is applied at BLOCK granularity
-    through the scalar-prefetched index maps (q_ref) that selected this
-    step's source blocks, so the kernel itself only sees the residual
-    (|residual| <= b/2), absorbed by the widened margin m_eff = margin + b/2.
-    Sources arrive as a 4x4 block neighbourhood of (b, b) blocks (2x2 tiles
-    of the (th, tw) = (2b, 2b) output tile)."""
+    """Batched kernel: one (stream, tile_y, tile_x, channel) grid step.  The
+    per-stream integer mean shift is applied at BLOCK granularity through the
+    scalar-prefetched index maps (q_ref) that selected this step's source
+    blocks, so the kernel itself only sees the residual (|residual| <= b/2),
+    absorbed by the widened margin m_eff = margin + b/2.  Sources arrive as
+    a 4x4 block neighbourhood of (b, b) blocks (2x2 tiles of the (th, tw) =
+    (2b, 2b) output tile).
+
+    The channel axis is innermost in the grid, so the channel-invariant vg
+    strip and xmap blocks keep the same block indices across the c steps of
+    a tile and are NOT re-fetched (Pallas skips same-index DMAs); only the
+    cheap mask math re-runs per channel.  A channel-fused variant (grid
+    (S, gh, gw)) was measured r4 and hits the 16 MB scoped-VMEM ceiling at
+    tile=256/c=3 — per-channel stays ~4x under it."""
     vg_refs = refs[:n_cb]
-    src_refs = refs[n_cb : n_cb + 16]
-    out_ref, s_s, v_s, tmp_s = refs[n_cb + 16 : n_cb + 20]
+    src_refs = refs[n_cb : n_cb + 16]  # each (1, 1, b, b)
+    out_ref, s_s, tmp_s = refs[n_cb + 16 : n_cb + 19]
     ty = pl.program_id(1)
     tx = pl.program_id(2)
 
+    # s_s holds only the rows the shift window can read (trim saves VMEM).
+    rs_rows = s_s.shape[0]
     for bi in range(4):
+        lo = bi * b
+        hi = min((bi + 1) * b, rs_rows)
+        if lo >= rs_rows:
+            continue
         for bj in range(4):
-            s_s[bi * b : (bi + 1) * b, bj * b : (bj + 1) * b] = src_refs[
-                bi * 4 + bj
-            ][0, 0]
-    for bj in range(n_cb):
-        v_s[:, bj * b : (bj + 1) * b] = vg_refs[bj][0]
+            s_s[lo:hi, bj * b : (bj + 1) * b] = src_refs[bi * 4 + bj][
+                0, 0, 0 : hi - lo, :
+            ]
 
     twe = tw + 2 * m_eff + 2
 
     # ---- vertical pass ---------------------------------------------------
-    ly = v_s[:, 0:twe]  # shift-removed source rows per (out row, src col)
+    # The vg strip stages through tmp_s (scratch reuse: the mask arrays are
+    # loaded into values before tmp_s is zeroed for accumulation).
+    for bj in range(n_cb):
+        tmp_s[:, bj * b : (bj + 1) * b] = vg_refs[bj][0]
+    ly = tmp_s[:, 0:twe]
     row0 = (ty * th).astype(jnp.float32) - (m_eff + 1)
     i_iota = lax.broadcasted_iota(jnp.int32, (th, twe), 0).astype(jnp.float32)
     s_f = ly - row0 - i_iota
@@ -455,15 +488,18 @@ def _kernel_batched(
     s_hi = jnp.max(s0i)
 
     tmp_s[:, 0:twe] = jnp.zeros((th, twe), jnp.float32)
-    for s in range(1, 2 * m_eff + 2):
-        @pl.when((s >= s_lo) & (s <= s_hi))
-        def _(s=s):
-            mk = (s0i == s).astype(jnp.float32)
-            wa = mk * (1.0 - fy)
-            wb = mk * fy
-            tmp_s[:, 0:twe] += (
-                wa * s_s[s : s + th, 0:twe] + wb * s_s[s + 1 : s + 1 + th, 0:twe]
-            )
+
+    def vbody(s, _):
+        mk = (s0i == s).astype(jnp.float32)
+        wa = mk * (1.0 - fy)
+        wb = mk * fy
+        # Dynamic sublane rotate (Mosaic requires dynamic slice *offsets*
+        # to be 8-aligned; roll has no such constraint), static slices.
+        r = pltpu.roll(s_s[...], -s, axis=0)
+        tmp_s[:, 0:twe] += wa * r[0:th, 0:twe] + wb * r[1 : th + 1, 0:twe]
+        return 0
+
+    lax.fori_loop(s_lo, s_hi + 1, vbody, 0)
 
     # ---- horizontal pass -------------------------------------------------
     lx = xmap_ref[0]
@@ -478,13 +514,14 @@ def _kernel_batched(
     t_hi = jnp.max(t0i)
 
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
-    for s in range(1, 2 * m_eff + 2):
-        @pl.when((s >= t_lo) & (s <= t_hi))
-        def _(s=s):
-            mk = (t0i == s).astype(jnp.float32)
-            out_ref[0, 0] += mk * (
-                (1.0 - fx) * tmp_s[:, s : s + tw] + fx * tmp_s[:, s + 1 : s + 1 + tw]
-            )
+
+    def hbody(s, _):
+        mk = (t0i == s).astype(jnp.float32)
+        r = pltpu.roll(tmp_s[...], -s, axis=1)
+        out_ref[0, 0] += mk * ((1.0 - fx) * r[:, 0:tw] + fx * r[:, 1 : tw + 1])
+        return 0
+
+    lax.fori_loop(t_lo, t_hi + 1, hbody, 0)
 
 
 @functools.partial(
@@ -585,7 +622,11 @@ def pallas_remap_batched(
 
     # Vertical map strip, (out row, shift-removed source col) with the col
     # origin at -(m_eff+1): tile tx reads col-blocks 2*tx + {0..n_cb-1}.
-    n_cb = -(-(tw + 2 * m_eff + 2) // b) + 1  # col-blocks covering twe
+    # The window of tile tx starts exactly at strip block 2*tx (the lhalo
+    # width m_eff+1 equals the window's left reach), so ceil(twe/b) blocks
+    # cover it exactly — no +1 (r3 advisor: the extra block was ~20% wasted
+    # vg HBM traffic per tile).
+    n_cb = -(-(tw + 2 * m_eff + 2) // b)  # col-blocks covering twe
     wv = b * (2 * gw + n_cb)
     d_v = vmap_y - idm[0]
     # Column halo by LINEAR extrapolation, not replication: the strip is
@@ -646,9 +687,14 @@ def pallas_remap_batched(
             lambda s, ty, tx, ci, q_ref: (s, ci, ty, tx),
         ),
         scratch_shapes=[
-            pltpu.VMEM((4 * b, 4 * b), jnp.float32),
-            pltpu.VMEM((th, n_cb * b), jnp.float32),
-            pltpu.VMEM((th, _round_up(tw + 2 * m_eff + 2, 128)), jnp.float32),
+            pltpu.VMEM(
+                (min(_round_up(2 * m_eff + 2 + th, 8), 4 * b), 4 * b),
+                jnp.float32,
+            ),
+            pltpu.VMEM(
+                (th, max(_round_up(tw + 2 * m_eff + 2, 128), n_cb * b)),
+                jnp.float32,
+            ),
         ],
     )
     out = pl.pallas_call(

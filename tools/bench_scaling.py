@@ -62,6 +62,10 @@ def main() -> None:
     ap.add_argument("--base-ms", type=float, default=None,
                     help="reference t(S=1) ms for the efficiency column "
                     "when running a single S in isolation")
+    ap.add_argument("--warp-filter", default="easu",
+                    choices=("easu", "bilinear"),
+                    help="corrective-warp sampling filter (easu = reference "
+                    "parity default; bilinear = fast option)")
     args = ap.parse_args()
 
     if args.mesh:
@@ -98,12 +102,12 @@ def main() -> None:
 
     # Detection sized to the frame so mesh mode stays CPU-tractable.
     if h >= 540:
-        filt = _flagship_filter()
+        filt = _flagship_filter(warp_filter=args.warp_filter)
     else:
         # Detection size must divide the 12x16 suppression grid.
         det = (max(h // 2 // 12, 2) * 12, max(w // 2 // 16, 2) * 16)
         filt = _flagship_filter(detection=det, grid=(12, 16), min_samples=30,
-                                hypotheses=128)
+                                hypotheses=128, warp_filter=args.warp_filter)
     spec = lvk.FrameSpec(height=h, width=w, channels=3,
                          format=lvk.PixelFormat.YUV)
 
@@ -180,6 +184,7 @@ def main() -> None:
             base_ms = ms
         eff = base_ms / ms if args.mesh else (base_ms * s_count) / ms
         line = {
+            "warp_filter": args.warp_filter,
             "mode": ("mesh" if args.mesh else "vmap_1chip")
             + ("_control" if args.control else ""),
             "streams": s_count,

@@ -37,7 +37,12 @@ def scan_time(make_body, state, n1=20, n2=80, reps=3, stat="min"):
     def timed(run, s):
         t0 = time.perf_counter()
         s2, out = run(s)
-        jax.block_until_ready(out)
+        # Host readback, not block_until_ready: through the axon relay the
+        # latter can return before the computation finishes (async elision —
+        # see .claude/skills/verify/SKILL.md), which showed up r4 as ~0 ms
+        # slopes when the carry pytree held large arrays.  Reading a value
+        # back cannot be elided; the ~30 ms RTT cancels in the slope.
+        np.asarray(jax.tree.leaves(out)[0])
         return time.perf_counter() - t0, s2
 
     _, s = timed(run1, state)
