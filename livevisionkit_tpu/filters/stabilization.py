@@ -188,9 +188,11 @@ class StabilizationFilter(VideoFilter):
         # raw float->u8 astype would truncate [0,1] floats to zero.
         if s.queue_dtype == "uint8":
             frames = state.frames.push(_quantize_u8(frame))
-            delayed: Frame = _dequantize_u8(frames.oldest())
+            delayed_q: Frame | None = frames.oldest()  # raw u8 payload
+            delayed: Frame = _dequantize_u8(delayed_q)
         else:
             frames = state.frames.push(frame)
+            delayed_q = None
             delayed = frames.oldest()
         queue_full = frames.is_full()
 
@@ -205,21 +207,39 @@ class StabilizationFilter(VideoFilter):
             # warp_filter="easu" is reference parity: every corrective warp
             # there goes through the fused EASU kernel (WarpMesh.cpp:183-223
             # → FSR.cl:362-403).  fmt drives EASU's luma selection.
+            #
+            # With the u8 delay queue the warp consumes the RAW u8 planes and
+            # produces u8 (dequantized after) — exactly the reference, which
+            # warps 8-bit UMats into 8-bit outputs, and 4x less HBM traffic
+            # through the warp's pad + block DMAs (the S=8 serving shape's
+            # dominant cost, r4).
+            if delayed_q is not None:
+                wsrc = delayed_q.pixels
+                walpha = delayed_q.alpha
+                undo = _dequantize_u8
+            else:
+                wsrc = delayed.pixels
+                walpha = delayed.alpha
+                undo = lambda f: f  # noqa: E731
             if out_alpha is None:
-                out_pixels = warp.apply(
-                    delayed.pixels, fill=0.0,
+                warped = warp.apply(
+                    wsrc, fill=0.0,
                     filter_mode=s.warp_filter, fmt=delayed.format,
                 )
+                out_pixels = undo(delayed.replace(pixels=warped)).pixels
             else:
                 # Warp alpha together with the colour planes: one shared
                 # gather (the reference leaves alpha untouched in the OBS
                 # frame, FrameIngest DirectIngest notes; warping it is the
                 # correct behaviour for standalone compositing output).
                 warped = warp.apply(
-                    jnp.concatenate([delayed.pixels, out_alpha[None]]),
+                    jnp.concatenate([wsrc, walpha[None]]),
                     fill=0.0, filter_mode=s.warp_filter, fmt=delayed.format,
                 )
-                out_pixels, out_alpha = warped[:-1], warped[-1]
+                wf = undo(
+                    delayed.replace(pixels=warped[:-1], alpha=warped[-1])
+                )
+                out_pixels, out_alpha = wf.pixels, wf.alpha
         else:
             out_pixels = delayed.pixels
 

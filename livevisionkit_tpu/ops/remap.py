@@ -143,20 +143,33 @@ def remap(
         squeeze = img.ndim == 2
         img3 = img[None] if squeeze else img
         h, w = img3.shape[-2:]
-        out = _pallas_core(interpret, filter_mode, fmt)(
-            img3.astype(jnp.float32), sample_map
-        )
+        # uint8 frames ride the whole Pallas path as u8 (4x less pad/DMA
+        # traffic; the kernels cast in VMEM) and re-quantize on output —
+        # exactly the reference, which warps u8 UMats into u8 outputs.
+        if img3.dtype != jnp.uint8:
+            img3 = img3.astype(jnp.float32)
+        out = _pallas_core(interpret, filter_mode, fmt)(img3, sample_map)
         out = pwarp._apply_fill(
-            out, sample_map, (h, w), fill, jnp.float32,
+            out, sample_map, (h, w), fill, out.dtype,
             floor_inside=(filter_mode == "easu"),
         )
-        out = out.astype(img.dtype)
+        if out.dtype != img.dtype:
+            out = _cast_like(out, img.dtype)
         return out[0] if squeeze else out
+    img_f = img.astype(jnp.float32) if img.dtype == jnp.uint8 else img
     if filter_mode == "easu":
         from livevisionkit_tpu.ops import easu as easu_ops
 
-        return easu_ops.easu_remap(img, sample_map, fmt=fmt, fill=fill)
-    return bilinear_sample(img, sample_map[0], sample_map[1], fill=fill)
+        out = easu_ops.easu_remap(img_f, sample_map, fmt=fmt, fill=fill)
+        return _cast_like(out, img.dtype)
+    out = bilinear_sample(img_f, sample_map[0], sample_map[1], fill=fill)
+    return _cast_like(out, img.dtype)
+
+
+def _cast_like(out: jax.Array, dtype) -> jax.Array:
+    if dtype == jnp.uint8:
+        return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+    return out.astype(dtype)
 
 
 def _pallas_core(interpret: bool, filter_mode: str = "bilinear", fmt=None):

@@ -71,6 +71,13 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _to_f32(x):
+    """VMEM-side cast to f32; Mosaic has no direct u8->f32, go via i32."""
+    if x.dtype == jnp.float32:
+        return x
+    return x.astype(jnp.int32).astype(jnp.float32)
+
+
 def _kernel(
     xmap_ref,  # (TH, TW): output-pixel source-x map (global coords)
     vmap_0_ref, vmap_1_ref,  # (TH, TW) vmap col-block pair (shifted layout)
@@ -92,7 +99,9 @@ def _kernel(
         for bj in range(2):
             r = src_refs[bi * 2 + bj]
             for c in range(channels):
-                s_s[c, bi * th : (bi + 1) * th, bj * tw : (bj + 1) * tw] = r[c]
+                s_s[c, bi * th : (bi + 1) * th, bj * tw : (bj + 1) * tw] = (
+                    _to_f32(r[c])
+                )
     v_s[:, 0:tw] = vmap_0_ref[...]
     v_s[:, tw : 2 * tw] = vmap_1_ref[...]
 
@@ -142,7 +151,9 @@ def _kernel(
     t_lo = jnp.min(t0i)
     t_hi = jnp.max(t0i)
 
-    out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    u8_out = out_ref.dtype == jnp.uint8
+    acc = refs[8] if u8_out else out_ref
+    acc[...] = jnp.zeros(acc.shape, jnp.float32)
 
     def hbody(s, _):
         mk = (t0i == s).astype(jnp.float32)
@@ -150,10 +161,18 @@ def _kernel(
         wb = mk * fx
         for c in range(channels):
             r = pltpu.roll(tmp_s[c, :, :], -s, axis=1)
-            out_ref[c, :, :] += wa * r[:, 0:tw] + wb * r[:, 1 : tw + 1]
+            acc[c, :, :] += wa * r[:, 0:tw] + wb * r[:, 1 : tw + 1]
         return 0
 
     lax.fori_loop(t_lo, t_hi + 1, hbody, 0)
+    if u8_out:
+        # Quantize in VMEM (round half up = reference u8 UMat stores);
+        # the HBM out write is then 4x smaller.
+        for c in range(channels):
+            out_ref[c, :, :] = jnp.clip(acc[c] + 0.5, 0.0, 255.0).astype(
+                jnp.int32
+            ).astype(jnp.uint8)
+    del acc
 
 
 def _easu_kernel(
@@ -183,7 +202,9 @@ def _easu_kernel(
         for bj in range(2):
             r = src_refs[bi * 2 + bj]
             for c in range(channels):
-                s_s[c, bi * th : (bi + 1) * th, bj * tw : (bj + 1) * tw] = r[c]
+                s_s[c, bi * th : (bi + 1) * th, bj * tw : (bj + 1) * tw] = (
+                    _to_f32(r[c])
+                )
     v_s[:, 0:tw] = vmap_0_ref[...]
     v_s[:, tw : 2 * tw] = vmap_1_ref[...]
 
@@ -266,6 +287,10 @@ def _easu_kernel(
     ppy = t_s[16, 0, :, :]
     ppx = fx
     out = easu_ops._easu_core(px, ppx, ppy, fmt)
+    if out_ref.dtype == jnp.uint8:
+        out = jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.int32).astype(
+            jnp.uint8
+        )
     out_ref[...] = out
 
 
@@ -295,7 +320,12 @@ def pallas_remap(
     squeeze = src.ndim == 2
     if squeeze:
         src = src[None]
-    src = src.astype(jnp.float32)
+    # uint8 sources stay u8 through the pad and the block DMAs (4x less HBM
+    # traffic than pre-casting; the reference warps 8-bit UMats the same
+    # way) and are cast to f32 at the in-VMEM neighbourhood assembly.  The
+    # kernel output is always f32.
+    if src.dtype != jnp.uint8:
+        src = src.astype(jnp.float32)
     c, h, w = src.shape
     th, tw = tile
     assert 2 * margin + 4 <= min(th, tw), (
@@ -376,6 +406,7 @@ def pallas_remap(
         )
         extra_scratch = [
             pltpu.VMEM((c, th, _round_up(tw + 2 * margin + 2, 128)), jnp.float32),
+            pltpu.VMEM((c, th, tw), jnp.float32),  # u8-out accumulator
         ]
     src_specs = [
         pl.BlockSpec(
@@ -414,14 +445,14 @@ def pallas_remap(
             pltpu.VMEM((th, 2 * tw), jnp.float32),
             *extra_scratch,
         ],
-        out_shape=jax.ShapeDtypeStruct((c, h2, w2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c, h2, w2), src.dtype),
         interpret=interpret,
     )(xmap_g, *([vmap_g] * 2), *([src_g] * 4))
 
     out = out[:, :h, :w]
     if fill_mode:
         out = _apply_fill(
-            out, sample_map, (h, w), fill, src.dtype,
+            out, sample_map, (h, w), fill, jnp.float32,
             floor_inside=(filter_mode == "easu"),
         )
     return out[0] if squeeze else out
@@ -453,9 +484,10 @@ def _kernel_batched(
     tile=256/c=3 — per-channel stays ~4x under it."""
     vg_refs = refs[:n_cb]
     src_refs = refs[n_cb : n_cb + 16]  # each (1, 1, b, b)
-    out_ref, s_s, tmp_s = refs[n_cb + 16 : n_cb + 19]
+    out_ref, s_s, tmp_s, acc_s = refs[n_cb + 16 : n_cb + 20]
     ty = pl.program_id(1)
     tx = pl.program_id(2)
+    u8_out = out_ref.dtype == jnp.uint8
 
     # s_s holds only the rows the shift window can read (trim saves VMEM).
     rs_rows = s_s.shape[0]
@@ -465,9 +497,9 @@ def _kernel_batched(
         if lo >= rs_rows:
             continue
         for bj in range(4):
-            s_s[lo:hi, bj * b : (bj + 1) * b] = src_refs[bi * 4 + bj][
-                0, 0, 0 : hi - lo, :
-            ]
+            s_s[lo:hi, bj * b : (bj + 1) * b] = _to_f32(
+                src_refs[bi * 4 + bj][0, 0, 0 : hi - lo, :]
+            )
 
     twe = tw + 2 * m_eff + 2
 
@@ -513,15 +545,29 @@ def _kernel_batched(
     t_lo = jnp.min(t0i)
     t_hi = jnp.max(t0i)
 
-    out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    if u8_out:
+        acc_s[...] = jnp.zeros(acc_s.shape, acc_s.dtype)
+    else:
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
     def hbody(s, _):
         mk = (t0i == s).astype(jnp.float32)
         r = pltpu.roll(tmp_s[...], -s, axis=1)
-        out_ref[0, 0] += mk * ((1.0 - fx) * r[:, 0:tw] + fx * r[:, 1 : tw + 1])
+        v = mk * ((1.0 - fx) * r[:, 0:tw] + fx * r[:, 1 : tw + 1])
+        if u8_out:
+            acc_s[...] += v
+        else:
+            out_ref[0, 0] += v
         return 0
 
     lax.fori_loop(t_lo, t_hi + 1, hbody, 0)
+    if u8_out:
+        # Quantize in VMEM (round half up, like the reference's u8 UMat
+        # stores) — the HBM out write is then 4x smaller, and the fill
+        # `where` downstream reads u8 instead of f32.
+        out_ref[0, 0] = jnp.clip(acc_s[...] + 0.5, 0.0, 255.0).astype(
+            jnp.int32
+        ).astype(jnp.uint8)
 
 
 @functools.partial(
@@ -565,8 +611,14 @@ def pallas_remap_batched(
     m_eff = margin + b // 2
 
     idm = remap_ops.identity_map((h, w))
-    disp = sample_map_b - idm  # (S, 2, H, W)
-    md = jnp.round(jnp.mean(disp, axis=(2, 3))).astype(jnp.int32)  # (S, 2)
+    # Mean displacement as mean(map) - mean(identity): one fused reduction
+    # over the map, no (S, 2, H, W) displacement tensor materialized.  (A
+    # 12x-strided subsample was measured r4 at +1.6 ms/S=8 — the strided
+    # read broke the map chain's fusion.)
+    idm_mean = jnp.array([(h - 1) / 2.0, (w - 1) / 2.0], jnp.float32)
+    md = jnp.round(jnp.mean(sample_map_b, axis=(2, 3)) - idm_mean).astype(
+        jnp.int32
+    )
     md = jnp.clip(md, -max_shift, max_shift)
     q = (md + b // 2) // b  # per-stream block offsets, floor div
     n0 = (max_shift + b // 2) // b
@@ -614,8 +666,10 @@ def pallas_remap_batched(
     p0x = (m_eff + 1) + n0 * b
     hbig = b * (2 * gh + 2 * n0 + 2)
     wbig = b * (2 * gw + 2 * n0 + 2)
+    if src_b.dtype != jnp.uint8:
+        src_b = src_b.astype(jnp.float32)
     big = jnp.pad(
-        src_b.astype(jnp.float32),
+        src_b,
         ((0, 0), (0, 0), (p0y, hbig - h - p0y), (p0x, wbig - w - p0x)),
         mode="edge",
     )
@@ -695,12 +749,13 @@ def pallas_remap_batched(
                 (th, max(_round_up(tw + 2 * m_eff + 2, 128), n_cb * b)),
                 jnp.float32,
             ),
+            pltpu.VMEM((th, tw), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((S, c, h2, w2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((S, c, h2, w2), src_b.dtype),
         interpret=interpret,
     )(qp, xg, *([vg] * n_cb), *([big] * 16))
     return out[:, :, :h, :w]

@@ -227,6 +227,62 @@ def test_remap_batched_dispatch(rng, monkeypatch):
     assert err.max() < 2e-2, err.max()
 
 
+def test_u8_source_roundtrip(rng, monkeypatch):
+    """uint8 frames ride the Pallas path as u8 (pad + DMA in u8, in-VMEM
+    cast, quantized u8 output = reference 8-bit UMat semantics)."""
+    monkeypatch.setenv("LVK_REMAP", "pallas")
+    src_f = fixtures.make_texture(96, 128, rng)
+    src_u8 = jnp.asarray(
+        np.clip(np.asarray(src_f) * 255 + 0.5, 0, 255).astype(np.uint8)
+    )
+    h = Homography.from_similarity(
+        jnp.float32(1.005), jnp.float32(0.01), jnp.float32(4.0), jnp.float32(-2.5)
+    )
+    smap = h.sample_map((96, 128))
+    got = remap_ops.remap(src_u8, smap, fill=0.0)
+    assert got.dtype == jnp.uint8
+    ref = remap_ops.bilinear_sample(
+        src_u8.astype(jnp.float32), smap[0], smap[1], fill=0.0
+    )
+    err = np.abs(np.asarray(got)[8:-8, 8:-8].astype(np.float32)
+                 - np.asarray(ref)[8:-8, 8:-8])
+    # +-0.5 LSB quantization + the kernel's separability bound (2e-2 of the
+    # value range = ~5 LSB on this rotation).
+    assert err.max() <= 6.0, err.max()
+    assert err.mean() < 1.0, err.mean()
+
+    # Batched u8 (the S=8 serving path): via the custom_vmap rule.
+    srcs, smaps = _batched_case(rng)
+    srcs_u8 = jnp.asarray(
+        np.clip(np.asarray(srcs) * 255 + 0.5, 0, 255).astype(np.uint8)
+    )
+    calls = []
+    orig = pwarp.pallas_remap_batched
+
+    def spy(src_b, smap_b, **kw):
+        calls.append(src_b.dtype)
+        kw.update(tile=64, margin=8)
+        return orig(src_b, smap_b, **kw)
+
+    monkeypatch.setattr(pwarp, "pallas_remap_batched", spy)
+    got_b = jax.vmap(lambda im, sm: remap_ops.remap(im, sm, fill=0.0))(
+        srcs_u8, smaps
+    )
+    assert calls == [jnp.uint8] and got_b.dtype == jnp.uint8
+    ref_b = jax.vmap(
+        lambda im, sm: remap_ops.bilinear_sample(im, sm[0], sm[1], fill=0.0)
+    )(srcs_u8.astype(jnp.float32), smaps)
+    sm = np.asarray(smaps)
+    h2, w2 = srcs.shape[-2:]
+    inside = (
+        (sm[:, 0] >= 1) & (sm[:, 0] <= h2 - 2)
+        & (sm[:, 1] >= 1) & (sm[:, 1] <= w2 - 2)
+    )[:, None]
+    err_b = (np.abs(np.asarray(got_b).astype(np.float32) - np.asarray(ref_b))
+             * inside)[..., 12:-12, 12:-12]
+    assert err_b.max() <= 7.0, err_b.max()
+
+
 def test_easu_mode_matches_easu_remap(rng):
     from livevisionkit_tpu.ops import easu as easu_ops
     from livevisionkit_tpu.types import PixelFormat

@@ -241,15 +241,20 @@ def test_default_warp_is_easu_parity(rng):
 
     # Replicate the final step's delay-queue pop by hand, then compare the
     # filter's output against the EASU oracle warped by its own correction.
+    # The u8 queue path warps the RAW u8 planes and re-quantizes the output
+    # (reference semantics: 8-bit UMat in, 8-bit out), so the oracle does
+    # the same round trip.
     last = frames[-1]
     frames_q = state.frames.push(stab_mod._quantize_u8(last))
-    delayed = stab_mod._dequantize_u8(frames_q.oldest())
+    delayed_q = frames_q.oldest()
     new_state, out = step(state, last)
     corr = new_state.correction
     smap = corr.to_homography(size).sample_map(size)
-    expected = easu_ops.easu_remap(
-        delayed.pixels, smap, fmt=PixelFormat.GRAY, fill=0.0
+    warped = easu_ops.easu_remap(
+        delayed_q.pixels.astype(jnp.float32), smap, fmt=PixelFormat.GRAY,
+        fill=0.0,
     )
+    expected = jnp.clip(jnp.round(warped), 0, 255).astype(jnp.float32) / 255.0
     np.testing.assert_allclose(
         np.asarray(out.pixels), np.asarray(expected), atol=1e-4
     )

@@ -89,14 +89,17 @@ def scaling_table() -> str:
         return "(no BENCH_SCALING.jsonl — run tools/bench_scaling.py --json-out)"
     latest = {}
     for r in rows:
-        latest[(r["mode"], r["streams"], r["size"])] = r
+        # Pre-r4 rows predate the warp_filter knob; they measured bilinear.
+        wf = r.get("warp_filter", "bilinear")
+        latest[(r["mode"], wf, r["streams"], r["size"])] = r
     out = [
-        "| Mode | Size | Streams | ms/step | frames/s | Scaling efficiency |",
-        "|---|---|---|---|---|---|",
+        "| Mode | Warp filter | Size | Streams | ms/step | frames/s "
+        "| Scaling efficiency |",
+        "|---|---|---|---|---|---|---|",
     ]
-    for (mode, s, size), r in sorted(latest.items()):
+    for (mode, wf, s, size), r in sorted(latest.items()):
         out.append(
-            f"| {mode} | {size} | {s} | {r['ms_per_step']:.2f} | "
+            f"| {mode} | {wf} | {size} | {s} | {r['ms_per_step']:.2f} | "
             f"{r['frames_per_s']:.0f} | {r['scaling_efficiency']:.3f} |"
         )
     return "\n".join(out)
