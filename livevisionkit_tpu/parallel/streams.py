@@ -59,9 +59,24 @@ class MultiStreamFilter:
     def _shard(self, tree: Any, tile_w: bool) -> Any:
         def put(x):
             x = jax.numpy.asarray(x)
-            return jax.device_put(
-                x, NamedSharding(self.mesh, _spec_for_leaf(x, tile_w))
-            )
+            if jax.numpy.issubdtype(x.dtype, jax.dtypes.prng_key):
+                # PRNG key leaves can't round-trip through numpy; shard the
+                # underlying uint32 data and re-wrap.
+                data = put(jax.random.key_data(x))
+                return jax.random.wrap_key_data(
+                    data, impl=jax.random.key_impl(x)
+                )
+            sharding = NamedSharding(self.mesh, _spec_for_leaf(x, tile_w))
+            if not sharding.is_fully_addressable:
+                # Multi-process mesh: device_put rejects shardings that span
+                # other hosts (found by tools/run_multiproc.py, r4).  Every
+                # process computes the same host-side value, so each simply
+                # materializes its own addressable shards.
+                host = np.asarray(x)
+                return jax.make_array_from_callback(
+                    host.shape, sharding, lambda idx: host[idx]
+                )
+            return jax.device_put(x, sharding)
 
         return jax.tree.map(put, tree)
 

@@ -82,13 +82,27 @@ def main() -> None:
                          hypotheses=128),
         1, 480, 640, lvk.PixelFormat.GRAY,
     )
-    # 2. 1080p homography stabilization (the bench.py headline).
+    # 2. 1080p homography stabilization (the bench.py headline).  The
+    # unsuffixed rows are the EASU-warp default (reference parity,
+    # WarpMesh.cpp:183-223); _bilinear rows keep the fast option visible.
+    import dataclasses as _dc
+
     run("1080p_homography_stabilization", _flagship_filter(),
+        3, 1080, 1920, lvk.PixelFormat.YUV)
+    run("1080p_homography_stabilization_bilinear",
+        _flagship_filter(warp_filter="bilinear"),
         3, 1080, 1920, lvk.PixelFormat.YUV)
     # 3. 1080p mesh (vector-field) stabilization.
     run(
         "1080p_mesh_stabilization",
         lvk.StabilizationFilter(settings=presets.stabilization_preset(model="field")),
+        3, 1080, 1920, lvk.PixelFormat.YUV,
+    )
+    run(
+        "1080p_mesh_stabilization_bilinear",
+        lvk.StabilizationFilter(settings=_dc.replace(
+            presets.stabilization_preset(model="field"),
+            warp_filter="bilinear")),
         3, 1080, 1920, lvk.PixelFormat.YUV,
     )
     # 3b. 1080p adaptive de-blocking.
@@ -105,9 +119,19 @@ def main() -> None:
     # cost is the full-res warp + enhancement passes.
     run("4k_homography_stabilization", _flagship_filter(),
         3, 2160, 3840, lvk.PixelFormat.YUV)
+    run("4k_homography_stabilization_bilinear",
+        _flagship_filter(warp_filter="bilinear"),
+        3, 2160, 3840, lvk.PixelFormat.YUV)
     run(
         "4k_mesh_stabilization",
         lvk.StabilizationFilter(settings=presets.stabilization_preset(model="field")),
+        3, 2160, 3840, lvk.PixelFormat.YUV,
+    )
+    run(
+        "4k_mesh_stabilization_bilinear",
+        lvk.StabilizationFilter(settings=_dc.replace(
+            presets.stabilization_preset(model="field"),
+            warp_filter="bilinear")),
         3, 2160, 3840, lvk.PixelFormat.YUV,
     )
     run("4k_deblock", DeblockingFilter(settings=DeblockingFilterSettings()),

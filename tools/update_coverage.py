@@ -30,12 +30,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LABELS = {
     "640x480_gray_stabilization": "640×480 gray stabilization (minimum slice)",
     "1080p_homography_stabilization":
-        "1080p stabilization (homography mode, full QA + warp)",
-    "1080p_mesh_stabilization": "1080p stabilization (16×16 mesh mode)",
+        "1080p stabilization (homography, EASU warp = reference default)",
+    "1080p_homography_stabilization_bilinear":
+        "1080p stabilization (homography, bilinear fast option)",
+    "1080p_mesh_stabilization":
+        "1080p stabilization (16×16 mesh, EASU warp)",
+    "1080p_mesh_stabilization_bilinear":
+        "1080p stabilization (16×16 mesh, bilinear)",
     "1080p_deblock": "1080p adaptive de-blocking",
     "1080p_to_4k_easu_rcas": "EASU 2× upscale 1080p → 4K + RCAS",
-    "4k_homography_stabilization": "4K-native stabilization (homography mode)",
-    "4k_mesh_stabilization": "4K-native stabilization (16×16 mesh mode)",
+    "4k_homography_stabilization":
+        "4K-native stabilization (homography, EASU warp)",
+    "4k_homography_stabilization_bilinear":
+        "4K-native stabilization (homography, bilinear)",
+    "4k_mesh_stabilization": "4K-native stabilization (16×16 mesh, EASU warp)",
+    "4k_mesh_stabilization_bilinear":
+        "4K-native stabilization (16×16 mesh, bilinear)",
     "4k_deblock": "4K-native adaptive de-blocking",
     "4k_cas": "4K-native CAS sharpening",
 }
