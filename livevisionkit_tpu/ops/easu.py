@@ -138,20 +138,36 @@ def _easu_filter(
     mi4 = jnp.minimum(jnp.minimum(px["f"], px["g"]), jnp.minimum(px["j"], px["k"]))
     ma4 = jnp.maximum(jnp.maximum(px["f"], px["g"]), jnp.maximum(px["j"], px["k"]))
 
-    # 12 weighted taps (easu_tap, FSR.cl:100-127).
+    # 12 weighted taps (easu_tap, FSR.cl:100-127).  r4 VPU restructuring of
+    # the reference's per-tap weight math — algebraically identical, ~30%
+    # fewer plane ops on the hot loop (this tail is ~80% of the 1080p→4K
+    # upscale's compute):
+    #   * wb = 25/16*(2/5*d2-1)^2 - 9/16 expands EXACTLY to
+    #     0.25*d2^2 - 1.25*d2 + 1, so w = wa*wb is a quartic in d2 whose
+    #     coefficients depend only on lob — Horner with 4 per-pixel
+    #     coefficient planes hoisted out of the tap loop (4 FMA/tap vs 9
+    #     ops/tap).
+    #   * the rotated distances hoist the direction*length products:
+    #     vx = offx*(dirx*len2x) + offy*(diry*len2x) (4 shared planes, 3
+    #     ops/tap per axis vs 4).
+    lob2 = lob * lob
+    cw1 = -1.25 - 2.0 * lob
+    cw2 = 0.25 + 2.5 * lob + lob2
+    cw3 = -0.5 * lob - 1.25 * lob2
+    cw4 = 0.25 * lob2
+    dxx = dirx * len2x
+    dyx = diry * len2x
+    dxy = -diry * len2y
+    dyy = dirx * len2y
     ac = jnp.zeros_like(px["f"])
     aw = jnp.zeros_like(ppx)
     for letter, (dx, dy) in _TAPS.items():
         offx = dx - ppx
         offy = dy - ppy
-        vx = (offx * dirx + offy * diry) * len2x
-        vy = (offx * -diry + offy * dirx) * len2y
+        vx = offx * dxx + offy * dyx
+        vy = offx * dxy + offy * dyy
         d2 = jnp.minimum(vx * vx + vy * vy, clp)
-        wa = lob * d2 - 1.0
-        wb = (2.0 / 5.0) * d2 - 1.0
-        wa = wa * wa
-        wb = (25.0 / 16.0) * (wb * wb) - (25.0 / 16.0 - 1.0)
-        w = wb * wa
+        w = 1.0 + d2 * (cw1 + d2 * (cw2 + d2 * (cw3 + d2 * cw4)))
         ac = ac + px[letter] * w
         aw = aw + w
 

@@ -67,6 +67,29 @@ def _phase_consts(p: int):
     return [((2 * r + 1 - p) // ph, ((2 * r + 1 - p) % ph) / ph) for r in range(ph)]
 
 
+def _perm_mm(x, p_ref, dims):
+    """Permutation matmul in TWO default-precision MXU passes instead of one
+    HIGHEST (bf16x6) pass — measured 0.75 ms/frame at 1080p→4K (r4).
+
+    Exactness: the permutation entries are exactly representable in bf16, so
+    each pass computes 1.0 * (operand rounded to bf16) with f32
+    accumulation.  Splitting x = hi + lo with hi = bf16(x) makes the hi pass
+    exact and leaves only lo's bf16 rounding: |err| <= 2^-16 |x| — an order
+    below f32's own epsilon budget for [0,1] video and two orders below a u8
+    LSB.  (One default pass alone rounds x to bf16: ~1 u8 LSB — too lossy.)
+    """
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = x - hi
+
+    def d(v):
+        return jax.lax.dot_general(
+            v, p_ref, dims, precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+
+    return d(hi) + d(lo)
+
+
 def _easu2x_kernel(*refs, channels: int, p: int, fmt: PixelFormat):
     c = channels
     ph = 2 * p
@@ -98,10 +121,8 @@ def _easu2x_kernel(*refs, channels: int, p: int, fmt: PixelFormat):
         for e in range(2):
             # Column deinterleave: raw col 2j+f -> half f, col j (exact:
             # permutation entries are 1.0, and bf16x6 passes reproduce f32).
-            half = jax.lax.dot_general(
-                v[:, e, :], deperm_ref[...], (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
+            half = _perm_mm(
+                v[:, e, :], deperm_ref[...], (((1,), (0,)), ((), ()))
             )
             s_par[e, 0, ch] = half[:, : 2 * kw]
             s_par[e, 1, ch] = half[:, 2 * kw :]
@@ -206,13 +227,7 @@ def _easu2x_kernel(*refs, channels: int, p: int, fmt: PixelFormat):
         # product; 1.0 and x round-trip any MXU pass precision) and
         # near-free on the MXU — phase-major concat -> pixel-major band.
         cat = jnp.concatenate(cols, axis=-1)  # (C, KH, ph*KW) phase-major
-        rows.append(
-            jax.lax.dot_general(
-                cat, perm_ref[...], (((2,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-        )
+        rows.append(_perm_mm(cat, perm_ref[...], (((2,), (0,)), ((), ()))))
     # Sublane (y) interleave: (C, KH, ph, TW) -> (C, KH*ph, TW) merges
     # sublane dims only — Mosaic supports this reshape (strided stores
     # would need a 128-wide base memref).

@@ -2,12 +2,23 @@
 
 The XLA form (ops/rcas.py) is a 5-point stencil whose shifted views XLA
 re-reads from HBM — measured 3.1 ms at 4K on v5e against a ~0.25 ms
-read+write bound.  Here each grid step fetches a 2x2 block neighbourhood
-(the 1-px halo rides the same shifted-layout trick as warp.py: the source is
-laid out pre-shifted by one pixel, so every tile's [t*T-1, t*T+T+1) reach
-lands in two consecutive blocks per axis), assembles it in VMEM, and runs
-the whole limiter + resolve math in registers: HBM traffic is one source
-read (x4 block overlap) plus the output write.
+read+write bound.  r4 rewrite (2.0 -> see BENCH_MATRIX):
+
+  * **Full-width row strips** instead of the 2x2 block-neighbourhood halo:
+    each grid step fetches ONE (C, TH, W) strip plus a 2-row boundary aux
+    plane prepared by the wrapper (the old scheme read every source pixel
+    4x).  The 1-px column halo is two `pltpu.roll` lane rotates; their
+    circular wrap touches only the frame-border columns, which the wrapper
+    overwrites with the reference's border copy-through anyway
+    (FSR.cl:484-491).
+  * **One division per pixel instead of seven.**  The per-channel limiter
+    ratios -p_i/q_i (p, q >= 0; two per channel, FSR.cl:515-526) are
+    max-reduced by a cross-multiplication tournament (p_a*q_b <= p_b*q_a
+    picks the winner — no division), the noise clamp folds into the
+    numerator (p'' = min(p, 0.1875*q)), and the resolve
+    (sum4*lobe + e) / (4*lobe + 1) with lobe = -s*p''/q rearranges EXACTLY
+    to (e*q - s*p''*sum4) / (q - 4*s*p'') — a single shared reciprocal.
+    q - 4*s*p'' >= 0.25*q keeps it well-conditioned.
 
 Reference parity: the `rcas` OpenCL kernel, Functions/OpenCL/Sources/
 FSR.cl:460-537; border copy-through (:484-491) is pasted by the wrapper.
@@ -19,59 +30,78 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# (128, 512) tiles overflow the 16 MB VMEM by ~1 MB once the limiter
-# temporaries are live; 64-row tiles leave comfortable headroom.
-_TH, _TW = 64, 512
+_TH = 32  # fallback strip height (used only when nothing below divides H)
+
+
+def _pick_th(h: int) -> int:
+    """Largest sublane-aligned strip height dividing H — when one exists the
+    full-frame row pad (a 100 MB copy at 4K) disappears entirely (1080 and
+    2160 both divide by 40)."""
+    for th in (40, 32, 24, 16, 8):
+        if h % th == 0:
+            return th
+    return _TH
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _rcas_kernel(*refs, channels: int, sharpness: float):
+def _rcas_kernel(src_ref, aux_ref, out_ref, s_s, sum4_s, *, channels: int,
+                 sharpness: float, th: int):
     c = channels
-    th, tw = _TH, _TW
-    src_refs = refs[:4]
-    out_ref, s_s = refs[4:6]
+    w = src_ref.shape[-1]
 
-    for bi in range(2):
-        for bj in range(2):
-            r = src_refs[bi * 2 + bj]
-            for ch in range(c):
-                s_s[
-                    ch, bi * th : (bi + 1) * th, bj * tw : (bj + 1) * tw
-                ] = r[ch]
+    # Assemble (C, TH+2, W): aux row 0 = row above the strip, row 1 = below.
+    for ch in range(c):
+        s_s[ch, 0, :] = aux_ref[0, ch, 0, :]
+        s_s[ch, 1 : th + 1, :] = src_ref[0, ch]
+        s_s[ch, th + 1, :] = aux_ref[0, ch, 1, :]
 
-    # Shifted views of the assembled scratch; scratch (1, 1) is the tile's
-    # (0, 0) source pixel.
-    def view(dy, dx):
-        return jnp.stack(
-            [
-                s_s[ch, 1 + dy : 1 + dy + th, 1 + dx : 1 + dx + tw]
-                for ch in range(c)
-            ]
-        )
+    # Channels stream one at a time: only ~6 (TH, W) planes are ever live
+    # (a fused all-channel formulation kept ~18 MB of (C, TH, W)
+    # intermediates alive — spill-bound and over the 16 MB VMEM budget at
+    # th=40/4K).  sum4 parks per channel in scratch for the resolve loop.
+    def pick(pa, qa, pb, qb):
+        # max(-p/q) over candidates == the (p, q) minimizing p/q:
+        # cross-multiplication picks the winner, no division.
+        a_wins = pa * qb <= pb * qa
+        return jnp.where(a_wins, pa, pb), jnp.where(a_wins, qa, qb)
 
-    e = view(0, 0)
-    b = view(-1, 0)
-    h = view(1, 0)
-    d = view(0, -1)
-    f = view(0, 1)
+    p = q = None
+    for ch in range(c):
+        e = s_s[ch, 1 : th + 1, :]
+        b = s_s[ch, 0:th, :]
+        h = s_s[ch, 2 : th + 2, :]
+        # Column neighbours by lane rotate; the wrap-around columns are
+        # border columns the wrapper's copy-through overwrites.
+        d = pltpu.roll(e, 1, axis=1)
+        f = pltpu.roll(e, e.shape[1] - 1, axis=1)  # -1 (shift must be >= 0)
+        mn4 = jnp.minimum(jnp.minimum(b, d), jnp.minimum(f, h))
+        mx4 = jnp.maximum(jnp.maximum(b, d), jnp.maximum(f, h))
+        sum4_s[ch] = (b + d) + (f + h)
+        # Limiter ratios as (p, q) pairs with ratio = -p/q, p >= 0, q > 0
+        # (FSR.cl:515-526: hitMin = min(mn4,e)/(4*mx4), hitMax =
+        # (1-max(mx4,e))/(4*mn4-4); both are <= 0 for [0,1] video).
+        p1 = jnp.minimum(mn4, e)
+        q1 = 4.0 * jnp.maximum(mx4, 1e-6)
+        p2 = 1.0 - jnp.maximum(mx4, e)
+        q2 = jnp.maximum(4.0 - 4.0 * mn4, 1e-6)
+        pc, qc = pick(p1, q1, p2, q2)
+        p, q = (pc, qc) if p is None else pick(p, q, pc, qc)
 
-    mn4 = jnp.minimum(jnp.minimum(b, d), jnp.minimum(f, h))
-    mx4 = jnp.maximum(jnp.maximum(b, d), jnp.maximum(f, h))
-    # Per-channel limiters (FSR.cl:515-526), worst case across channels.
-    hit_min = jnp.minimum(mn4, e) / (4.0 * jnp.maximum(mx4, 1e-6))
-    hit_max = (1.0 - jnp.maximum(mx4, e)) / jnp.minimum(4.0 * mn4 - 4.0, -1e-6)
-    lobe_c = jnp.maximum(-hit_min, hit_max)
-    lobe = lobe_c[0]
-    for ch in range(1, c):
-        lobe = jnp.maximum(lobe, lobe_c[ch])
-    lobe = jnp.clip(lobe, -0.1875, 0.0) * sharpness
-    out_ref[...] = ((b + d + f + h) * lobe + e) * (1.0 / (4.0 * lobe + 1.0))
+    # Noise clamp folded into the numerator: lobe = -s * min(p, 0.1875*q)/q.
+    ps = sharpness * jnp.minimum(p, 0.1875 * q)
+    # Resolve with ONE shared reciprocal:
+    # (sum4*lobe + e) / (4*lobe + 1) == (e*q - ps*sum4) / (q - 4*ps).
+    rec = 1.0 / (q - 4.0 * ps)
+    for ch in range(c):
+        e = s_s[ch, 1 : th + 1, :]
+        out_ref[0, ch] = (e * q - ps * sum4_s[ch]) * rec
 
 
 @functools.partial(jax.jit, static_argnames=("sharpness", "interpret"))
@@ -84,36 +114,46 @@ def pallas_rcas(
         img = img[None]
     img = img.astype(jnp.float32)
     c, h, w = img.shape
-    th, tw = _TH, _TW
-    gh, gw = -(-h // th), -(-w // tw)
-    hs, ws = (gh + 1) * th, (gw + 1) * tw
+    th = _pick_th(h)
+    gh = -(-h // th)
+    w2 = _round_up(w, 128)
+    hp = gh * th
+    if hp == h and w2 == w:
+        sp = img
+    else:
+        sp = jnp.pad(img, ((0, 0), (0, hp - h), (0, w2 - w)), mode="edge")
 
-    # 1-px-shifted layout: padded row 0 is source row -1 (edge-replicated).
-    sp = jnp.pad(img, ((0, 0), (1, hs - h - 1), (1, ws - w - 1)), mode="edge")
+    # Boundary aux rows: for strip ty, row above (clamped) and row below
+    # (clamped) — static indices, two thin XLA gathers.
+    top_idx = np.maximum(np.arange(gh) * th - 1, 0)
+    bot_idx = np.minimum(np.arange(gh) * th + th, h - 1)
+    aux = jnp.stack([sp[:, top_idx, :], sp[:, bot_idx, :]], axis=2)
+    # aux: (C, gh, 2, W2) -> block (C, 1, 2, W2) per strip; put strip dim
+    # first for a clean index map.
+    aux = jnp.moveaxis(aux, 1, 0)  # (gh, C, 2, W2)
 
-    kernel = functools.partial(_rcas_kernel, channels=c, sharpness=sharpness)
-    src_specs = [
-        pl.BlockSpec(
-            (c, th, tw),
-            functools.partial(
-                lambda ty, tx, di, dj: (0, ty + di, tx + dj), di=bi, dj=bj
-            ),
-            memory_space=pltpu.VMEM,
-        )
-        for bi in range(2)
-        for bj in range(2)
-    ]
+    kernel = functools.partial(
+        _rcas_kernel, channels=c, sharpness=sharpness, th=th
+    )
     out = pl.pallas_call(
         kernel,
-        grid=(gh, gw),
-        in_specs=src_specs,
+        grid=(gh,),
+        in_specs=[
+            pl.BlockSpec((1, c, th, w2), lambda ty: (0, 0, ty, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, 2, w2), lambda ty: (ty, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec(
-            (c, th, tw), lambda ty, tx: (0, ty, tx), memory_space=pltpu.VMEM
+            (1, c, th, w2), lambda ty: (0, 0, ty, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((c, 2 * th, 2 * tw), jnp.float32)],
-        out_shape=jax.ShapeDtypeStruct((c, gh * th, gw * tw), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((c, th + 2, w2), jnp.float32),
+            pltpu.VMEM((c, th, w2), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((1, c, hp, w2), jnp.float32),
         interpret=interpret,
-    )(*([sp] * 4))[:, :h, :w]
+    )(sp[None], aux)[0, :, :h, :w]
 
     # Border copy-through (FSR.cl:484-491).
     out = out.at[:, :1, :].set(img[:, :1, :])
