@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from collections import deque
 from dataclasses import dataclass, field
 from typing import Callable
@@ -48,11 +49,25 @@ class StreamStats:
     # Per-filter GPU-synced timings, only in profile mode
     # (reference VideoProcessor -v, VideoProcessor.cpp:291-356).
     filter_times: dict = field(default_factory=dict)
+    # Per-output submit→drain latency samples (seconds): the time from the
+    # frame's dispatch to its pixels being host-resident, i.e. the live-mode
+    # pipeline latency INCLUDING the deliberate in-flight window.  The
+    # stabilizer's algorithmic delay (predictive_samples frames of delay
+    # queue) is a separate, deterministic content delay — not included.
+    latencies: list = field(default_factory=list)
 
     @property
     def fps(self) -> float:
         avg = self.frame_time.average()
         return 1.0 / avg if avg > 0 else 0.0
+
+    def latency_quantiles(self) -> dict:
+        """p50/p95/p99 frame latency in ms (empty dict when no samples)."""
+        if not self.latencies:
+            return {}
+        arr = np.sort(np.asarray(self.latencies)) * 1e3
+        q = lambda p: float(arr[min(len(arr) - 1, int(p * len(arr)))])  # noqa: E731
+        return {"p50_ms": q(0.50), "p95_ms": q(0.95), "p99_ms": q(0.99)}
 
 
 @jax.jit
@@ -84,17 +99,35 @@ def stream(
     stop_event = stop_event or threading.Event()
 
     in_q: queue.Queue = queue.Queue(maxsize=queue_depth)
+    reader_exc: list[BaseException] = []
+
+    def _put_with_stop(item) -> bool:
+        """Bounded put that aborts when the pipeline stops (r3 VERDICT #9:
+        a plain blocking put stranded the reader on a full queue after an
+        abort)."""
+        while not stop_event.is_set():
+            try:
+                in_q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def read_loop():
         n = 0
-        for frame, ts in reader:
-            if stop_event.is_set():
-                break
-            in_q.put((frame, ts))
-            n += 1
-            if max_frames is not None and n >= max_frames:
-                break
-        in_q.put(None)  # EOF
+        try:
+            for frame, ts in reader:
+                if stop_event.is_set():
+                    break
+                if not _put_with_stop((frame, ts)):
+                    return
+                n += 1
+                if max_frames is not None and n >= max_frames:
+                    break
+        except BaseException as e:  # surface decode errors like encode ones
+            reader_exc.append(e)
+            stop_event.set()
+        _put_with_stop(None)  # EOF
 
     reader_thread = threading.Thread(target=read_loop, daemon=True)
     reader_thread.start()
@@ -154,19 +187,33 @@ def stream(
     step = jax.jit(full_step, donate_argnums=0)
 
     state = None
-    pending: deque = deque()  # (pixels_dev, ts_dev, valid_dev)
+    pending: deque = deque()  # ((pixels_dev, ts_dev, valid_dev), t_submit)
 
     def drain(block_all: bool):
         while pending and (block_all or len(pending) > inflight):
-            px, ts, valid = pending.popleft()
+            (px, ts, valid), t_sub = pending.popleft()
             if bool(valid):  # device sync happens here (backpressure)
                 out_np = np.asarray(px)
+                stats.latencies.append(time.perf_counter() - t_sub)
                 stats.frames_out += 1
-                out_q.put((out_np, float(ts)))
+                # Stop-aware put: a dead writer leaves the queue full and a
+                # blocking put would hang the pipeline on abort.
+                while not stop_event.is_set():
+                    try:
+                        out_q.put((out_np, float(ts)), timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
     try:
         while not stop_event.is_set():
-            item = in_q.get()
+            # Poll, don't block: after an abort the reader stops feeding
+            # without an EOF sentinel (its puts bail on stop_event), so a
+            # blocking get would hang here forever.
+            try:
+                item = in_q.get(timeout=0.1)
+            except queue.Empty:
+                continue
             if item is None:
                 break
             raw_np, ts = item
@@ -200,14 +247,25 @@ def stream(
                     out = (outf.pixels, outf.timestamp, outf.valid)
                 else:
                     state, out = step(state, raw_dev, jnp.float32(ts))
-            pending.append(out)
+            pending.append((out, time.perf_counter()))
             stats.frames_in += 1
             drain(block_all=False)
         drain(block_all=True)
     finally:
         stop_event.set()
-        out_q.put(None)
+        # Deliver the writer's EOF sentinel without deadlocking: the writer
+        # may still be draining (keep trying) or already dead (give up).
+        for _ in range(300):
+            try:
+                out_q.put(None, timeout=0.1)
+                break
+            except queue.Full:
+                if not writer_thread.is_alive():
+                    break
         writer_thread.join(timeout=30)
+        reader_thread.join(timeout=5)
     if writer_exc:
         raise writer_exc[0]
+    if reader_exc:
+        raise reader_exc[0]
     return stats

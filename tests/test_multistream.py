@@ -172,3 +172,27 @@ def test_multistream_uneven_stream_lengths(rng):
     # Timestamps stay ordered per stream (no bubble leaked out).
     assert got[0] == sorted(got[0])
     assert got[1] == sorted(got[1])
+
+
+@pytest.mark.slow
+def test_multistream_loopback_driver(rng):
+    """r3 VERDICT #6: the serving driver validated at speed without the
+    tunnel — synthetic in-memory readers, a deliberately slow stream and an
+    early-EOF stream; asserts (inside the tool) that fast streams finish
+    their full clips (no head-of-line blocking) and bubbles were injected."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "bench_multistream.py"),
+         "--loopback", "--streams", "4", "--size", "96x128", "--frames", "24"],
+        capture_output=True, text=True, timeout=900,
+        env={**{k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS",)},
+             "PYTHONPATH": "", "JAX_PLATFORMS": "cpu"},
+        cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "loopback OK" in proc.stderr

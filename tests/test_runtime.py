@@ -127,3 +127,60 @@ def test_cli_filter_specs():
     assert f2.settings.output_size == (360, 640)
     with pytest.raises(SystemExit):
         cli._build_filter("nope", {})
+
+
+def test_stream_reader_exception_surfaces(rng):
+    """r3 VERDICT #9: decode errors must surface to the caller like encode
+    errors (the reader thread used to swallow them as a stranded daemon)."""
+    frames = _clip_uint8(rng, n=6)
+
+    def bad_reader():
+        for t, f in enumerate(frames):
+            if t == 3:
+                raise RuntimeError("decode exploded")
+            yield f, t / 30.0
+
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        stream(
+            CompositeFilter(filters=(IdentityFilter(),)),
+            bad_reader(),
+            on_output=lambda px, ts: None,
+        )
+
+
+def test_stream_writer_abort_does_not_strand_reader(rng):
+    """A failing writer aborts the pipeline; the reader thread must unblock
+    from a full input queue and join (bounded put with stop polling)."""
+    import itertools
+
+    def endless_reader():
+        f = _clip_uint8(rng, n=1)[0]
+        for t in itertools.count():
+            yield f, t / 30.0
+
+    def bad_writer(px, ts):
+        raise IOError("encoder died")
+
+    with pytest.raises(IOError, match="encoder died"):
+        stream(
+            CompositeFilter(filters=(IdentityFilter(),)),
+            endless_reader(),
+            on_output=bad_writer,
+            queue_depth=2,
+        )
+    # No assertion on threads needed: stream() joins both with timeouts and
+    # raising past a stuck join would fail this test by timeout.
+
+
+def test_stream_latency_quantiles(rng):
+    frames = _clip_uint8(rng, n=12)
+    reader = ((f, t / 30.0) for t, f in enumerate(frames))
+    stats = stream(
+        CompositeFilter(filters=(IdentityFilter(),)),
+        reader,
+        on_output=lambda px, ts: None,
+    )
+    q = stats.latency_quantiles()
+    assert set(q) == {"p50_ms", "p95_ms", "p99_ms"}
+    assert 0 < q["p50_ms"] <= q["p95_ms"] <= q["p99_ms"]
+    assert len(stats.latencies) == stats.frames_out

@@ -51,7 +51,16 @@ def main() -> None:
                     help="drop outputs instead of encoding (isolates decode"
                     " + device path)")
     ap.add_argument("--codec", default="MJPG")
+    ap.add_argument("--loopback", action="store_true",
+                    help="r3 VERDICT #6: synthetic in-memory readers/null "
+                    "writers on the CPU backend — validates the driver's "
+                    "overlap/bubble machinery AT SPEED (no video files, no "
+                    "device tunnel) and measures pure driver overhead, with "
+                    "a deliberately slow stream and an early-EOF stream")
     args = ap.parse_args()
+
+    if args.loopback:
+        return loopback(args)
 
     from livevisionkit_tpu.utils import compile_cache
 
@@ -159,6 +168,86 @@ def main() -> None:
         "encode": not args.no_encode,
     }
     print(json.dumps(line), flush=True)
+
+
+def loopback(args) -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from __graft_entry__ import _flagship_filter
+    from livevisionkit_tpu.runtime import multistream
+
+    h, w = map(int, args.size.split("x"))
+    n = args.streams
+    rng = np.random.default_rng(0)
+    ring = [
+        (rng.uniform(0, 255, size=(h, w, 3))).astype(np.uint8)
+        for _ in range(4)
+    ]
+
+    def make_reader(i):
+        def gen():
+            frames = args.frames
+            if i == 1:
+                frames = args.frames // 2  # early EOF stream
+            for t in range(frames):
+                if i == 0 and t % 4 == 1:
+                    # Deliberately slow decoder: long enough to exceed any
+                    # plausible CPU batch time so bubbles MUST happen.
+                    time.sleep(0.6)
+                yield ring[t % len(ring)], t / 30.0
+        return gen()
+
+    det = (max(h // 2 // 12, 2) * 12, max(w // 2 // 16, 2) * 16)
+    filt = _flagship_filter(detection=det, grid=(12, 16), min_samples=30,
+                            hypotheses=64)
+    counts = [0] * n
+
+    def on_output(i, px, ts):
+        counts[i] += 1
+
+    readers = [make_reader(i) for i in range(n)]
+    log("loopback warm-up (compile) ...")
+    multistream.stream_multi(
+        filt, [iter([(ring[0], 0.0)] * 4) for _ in range(n)],
+        on_output=lambda *a: None, slow_stream_timeout=0.01,
+    )
+    log(f"loopback run: {n} streams x {args.frames} frames ...")
+    t0 = time.perf_counter()
+    stats = multistream.stream_multi(
+        filt, readers, on_output=on_output, slow_stream_timeout=0.01,
+    )
+    wall = time.perf_counter() - t0
+
+    # Driver overhead: wall time beyond the device batches themselves.
+    step_s = stats.batch_time.average() * stats.batches
+    line = {
+        "metric": "multistream_loopback",
+        "mode": "loopback",
+        "streams": n,
+        "size": f"{h}x{w}",
+        "frames_in": stats.frames_in,
+        "frames_out": stats.frames_out,
+        "per_stream_out": stats.per_stream_out,
+        "stalls": stats.stalls,
+        "wall_s": round(wall, 2),
+        "aggregate_fps": round(stats.frames_out / wall, 1),
+        "batch_ms": round(stats.batch_time.average() * 1e3, 2),
+        "driver_overhead_pct": round(max(0.0, wall - step_s) / wall * 100, 1),
+        "slow_stream": 0,
+        "early_eof_stream": 1,
+    }
+    print(json.dumps(line), flush=True)
+    # No head-of-line blocking: the fast streams must finish their full
+    # clip even with stream 0 crawling and stream 1 ending early.
+    assert stats.stalls > 0, "slow stream never bubbled"
+    full = filt.delay
+    for i in range(2, n):
+        assert counts[i] >= args.frames - full - 1, (i, counts[i])
+    log("loopback OK: fast streams unblocked, bubbles injected")
 
 
 if __name__ == "__main__":
