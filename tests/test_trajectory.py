@@ -97,3 +97,27 @@ def test_output_trajectory_smoother_and_closer_to_ideal(rng):
     assert ate_out < 0.7 * ate_in, (ate_in, ate_out)
     # Drift bound: corrections never exceed the corrective limit.
     assert np.abs(y_out - x_in).max() <= 0.10 * max(h, w) + 1e-3
+
+
+@pytest.mark.slow
+def test_oracle_pipeline_parity():
+    """r3 VERDICT #8 / BASELINE trajectory criterion: run the reference's
+    NUMERICS (OpenCV goodFeatures + calcOpticalFlowPyrLK + USAC_MAGSAC
+    findHomography + Gaussian-window smoothing) as an end-to-end oracle on a
+    fixture clip and require our stabilized trajectory's ATE/jitter within
+    1.25x of the oracle's (r4 measured ratios ~1.0: parity)."""
+    import os
+    import subprocess
+    import sys
+
+    pytest.importorskip("cv2")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "oracle_pipeline.py")],
+        capture_output=True, text=True, timeout=1500,
+        env={**{k: v for k, v in os.environ.items() if k != "XLA_FLAGS"},
+             "PYTHONPATH": "", "JAX_PLATFORMS": "cpu"},
+        cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stdout[-1500:] + proc.stderr[-800:]
+    assert "ORACLE OK" in proc.stdout
