@@ -152,6 +152,12 @@ def make_parser() -> argparse.ArgumentParser:
         "--profile-filters", action="store_true",
         help="time each filter separately (syncs per filter; slower)",
     )
+    p.add_argument(
+        "--hud", type=float, default=None, metavar="BUDGET_MS",
+        help="test-mode frame-time HUD stamped on outputs, green within "
+        "BUDGET_MS / red over (reference VSFilter.cpp:368-383; its "
+        "stabilizer budget is 6.0)",
+    )
     p.add_argument("-L", "--log-csv", help="write frame timings to CSV")
     p.add_argument(
         "--trace", metavar="DIR",
@@ -306,6 +312,7 @@ def main(argv: list[str] | None = None) -> int:
         stats = stream(
             filt, reader, on_output=on_output, max_frames=args.frames,
             profile_filters=args.profile_filters, stop_event=stop_event,
+            hud_budget_ms=args.hud,
         )
     if args.trace:
         print(f"device trace written to {args.trace}", file=sys.stderr)

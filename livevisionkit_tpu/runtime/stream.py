@@ -87,6 +87,7 @@ def stream(
     max_frames: int | None = None,
     stop_event: threading.Event | None = None,
     profile_filters: bool = False,
+    hud_budget_ms: float | None = None,
 ) -> StreamStats:
     """Run `filt` over `reader` (yields (bgr_hwc_uint8, timestamp)).
 
@@ -94,6 +95,10 @@ def stream(
     output frame, in order.  Conversion into/out of `work_format` happens on
     device around the filter, mirroring the reference's YUV inter-filter
     convention (Filters/VideoFilter.hpp:31).
+
+    hud_budget_ms enables the reference's test-mode frame-time HUD
+    (VSFilter.cpp:368-383): the host-measured frame time is stamped onto
+    every output, green within budget / red over (runtime/hud.py).
     """
     stats = StreamStats()
     stop_event = stop_event or threading.Event()
@@ -195,6 +200,15 @@ def stream(
             if bool(valid):  # device sync happens here (backpressure)
                 out_np = np.asarray(px)
                 stats.latencies.append(time.perf_counter() - t_sub)
+                if hud_budget_ms is not None:
+                    from livevisionkit_tpu.runtime.hud import (
+                        draw_frame_time_hud,
+                    )
+
+                    out_np = draw_frame_time_hud(
+                        np.array(out_np), stats.frame_time.last() * 1e3,
+                        hud_budget_ms,
+                    )
                 stats.frames_out += 1
                 # Stop-aware put: a dead writer leaves the queue full and a
                 # blocking put would hang the pipeline on abort.

@@ -45,6 +45,10 @@ class Stopwatch:
     def count(self) -> int:
         return len(self._times)
 
+    def last(self) -> float:
+        """Most recent recorded interval (seconds; 0 before any sample)."""
+        return self._times[-1] if self._times else 0.0
+
     def average(self) -> float:
         return sum(self._times) / len(self._times) if self._times else 0.0
 

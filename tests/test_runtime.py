@@ -184,3 +184,35 @@ def test_stream_latency_quantiles(rng):
     assert set(q) == {"p50_ms", "p95_ms", "p99_ms"}
     assert 0 < q["p50_ms"] <= q["p95_ms"] <= q["p99_ms"]
     assert len(stats.latencies) == stats.frames_out
+
+
+def test_frame_time_hud(rng):
+    """Reference test-mode HUD (VSFilter.cpp:368-383): frame time stamped on
+    outputs, green within budget / red over."""
+    from livevisionkit_tpu.runtime.hud import GREEN, RED, draw_frame_time_hud
+
+    img = np.full((3, 80, 160), 0.5, np.float32)
+    over = draw_frame_time_hud(img.copy(), frame_ms=9.0, budget_ms=6.0)
+    under = draw_frame_time_hud(img.copy(), frame_ms=2.0, budget_ms=6.0)
+    assert not np.array_equal(over, img) and not np.array_equal(under, img)
+    # Dominant stamped colour channel: red over budget, green under.
+    d_over = over - img
+    d_under = under - img
+    assert d_over[0][d_over[0] > 0].size and RED[0] > RED[1]
+    assert (d_over[0] > 0.3).sum() > (d_over[1] > 0.3).sum()
+    assert (d_under[1] > 0.3).sum() > (d_under[0] > 0.3).sum()
+
+    # Through the pipeline: outputs carry the overlay.
+    frames = _clip_uint8(rng, n=8)
+    reader = ((f, t / 30.0) for t, f in enumerate(frames))
+    outs = []
+    stream(
+        CompositeFilter(filters=(IdentityFilter(),)),
+        reader,
+        on_output=lambda px, ts: outs.append(px.copy()),
+        hud_budget_ms=6.0,
+    )
+    # HUD pixels differ from the plain round trip in the stamp region.
+    assert len(outs) == 8
+    region = np.stack(outs)[:, :, 6:30, 6:80]
+    assert (np.abs(region - 0.5) > 0.35).any()
