@@ -106,16 +106,15 @@ def _easu_core(
     return _easu_filter(px, dirx, diry, length, ppx, ppy)
 
 
-def _easu_filter(
-    px: dict[str, jax.Array],
-    dirx: jax.Array,
-    diry: jax.Array,
-    length: jax.Array,
-    ppx,
-    ppy,
-) -> jax.Array:
-    """The shared EASU tail: kernel shaping + 12 weighted taps + de-ring
-    (FSR.cl:306-322,100-127), given already-accumulated direction terms."""
+def _shape_kernel(dirx: jax.Array, diry: jax.Array, length: jax.Array):
+    """Direction normalization + kernel shaping (FSR.cl:306-330), shared by
+    `_easu_filter` and the batched Pallas kernel's weight-plane pass.
+
+    Returns (dxx, dyx, dxy, dyy, clp, cw1, cw2, cw3, cw4): the rotated-
+    distance planes hoisting direction*length products and the Horner
+    coefficients of the quartic tap weight (see the r4 note in
+    `_easu_filter`); per-tap weight = 1 + d2*(cw1 + d2*(cw2 + d2*(cw3 +
+    d2*cw4))) with d2 = min(vx^2 + vy^2, clp)."""
     # Normalize direction; degenerate -> horizontal (FSR.cl:306-312).
     dir_r = dirx * dirx + diry * diry
     zro = dir_r < (1.0 / 32768.0)
@@ -133,6 +132,31 @@ def _easu_filter(
     len2y = 1.0 - 0.5 * length
     lob = 0.5 + ((1.0 / 4.0 - 0.04) - 0.5) * length
     clp = 1.0 / lob
+    lob2 = lob * lob
+    cw1 = -1.25 - 2.0 * lob
+    cw2 = 0.25 + 2.5 * lob + lob2
+    cw3 = -0.5 * lob - 1.25 * lob2
+    cw4 = 0.25 * lob2
+    dxx = dirx * len2x
+    dyx = diry * len2x
+    dxy = -diry * len2y
+    dyy = dirx * len2y
+    return dxx, dyx, dxy, dyy, clp, cw1, cw2, cw3, cw4
+
+
+def _easu_filter(
+    px: dict[str, jax.Array],
+    dirx: jax.Array,
+    diry: jax.Array,
+    length: jax.Array,
+    ppx,
+    ppy,
+) -> jax.Array:
+    """The shared EASU tail: kernel shaping + 12 weighted taps + de-ring
+    (FSR.cl:306-322,100-127), given already-accumulated direction terms."""
+    dxx, dyx, dxy, dyy, clp, cw1, cw2, cw3, cw4 = _shape_kernel(
+        dirx, diry, length
+    )
 
     # De-ringing window: min/max of the 4 nearest (f, g, j, k).
     mi4 = jnp.minimum(jnp.minimum(px["f"], px["g"]), jnp.minimum(px["j"], px["k"]))
@@ -146,19 +170,10 @@ def _easu_filter(
     #     0.25*d2^2 - 1.25*d2 + 1, so w = wa*wb is a quartic in d2 whose
     #     coefficients depend only on lob — Horner with 4 per-pixel
     #     coefficient planes hoisted out of the tap loop (4 FMA/tap vs 9
-    #     ops/tap).
+    #     ops/tap) — see `_shape_kernel`.
     #   * the rotated distances hoist the direction*length products:
     #     vx = offx*(dirx*len2x) + offy*(diry*len2x) (4 shared planes, 3
     #     ops/tap per axis vs 4).
-    lob2 = lob * lob
-    cw1 = -1.25 - 2.0 * lob
-    cw2 = 0.25 + 2.5 * lob + lob2
-    cw3 = -0.5 * lob - 1.25 * lob2
-    cw4 = 0.25 * lob2
-    dxx = dirx * len2x
-    dyx = diry * len2x
-    dxy = -diry * len2y
-    dyy = dirx * len2y
     ac = jnp.zeros_like(px["f"])
     aw = jnp.zeros_like(ppx)
     for letter, (dx, dy) in _TAPS.items():

@@ -209,9 +209,20 @@ def _pallas_core(interpret: bool, filter_mode: str = "bilinear", fmt=None):
         if not smap_bat:
             smap_b = jnp.broadcast_to(smap_b[None], (axis_size,) + smap_b.shape)
         if filter_mode == "easu":
-            # No batched EASU kernel yet: run the solo kernel per stream
-            # under a sequential lax.map (documented fallback — each
-            # iteration is the full solo pallas path incl. its per-stream
+            from livevisionkit_tpu.types import PixelFormat
+
+            if fmt in (PixelFormat.YUV, PixelFormat.GRAY, None):
+                # Batched EASU kernel: luma = plane 0, so the tap weights
+                # are computed once per tile at the luma grid step and
+                # reused for chroma (see _easu_kernel_batched).
+                return pwarp.pallas_remap_batched(
+                    img_b, smap_b, interpret=interpret,
+                    filter_mode="easu", fmt=fmt,
+                ), True
+            # RGB-luma formats mix all channels into the luma plane, which
+            # the per-channel batched grid cannot see at once: run the solo
+            # kernel per stream under a sequential lax.map (each iteration
+            # is the full solo pallas path incl. its per-stream
             # dynamic-slice mean shift, which is slice-not-gather when the
             # batch axis is a scan axis).
             out = jax.lax.map(

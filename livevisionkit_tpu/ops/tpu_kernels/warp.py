@@ -570,17 +570,231 @@ def _kernel_batched(
         ).astype(jnp.uint8)
 
 
+def _easu_kernel_batched(
+    q_ref,  # (S, 2) scalar-prefetch: per-stream block offsets (+n0), y then x
+    xmap_ref,  # (1, TH, TW)
+    *refs,
+    th: int,
+    tw: int,
+    b: int,
+    m_eff: int,
+    n_cb: int,
+    fmt,
+):
+    """Batched EASU warp: the reference-parity serving kernel.
+
+    Same block-offset scalar-prefetch machinery as `_kernel_batched` (grid
+    (S, gh, gw, c), per-stream mean shifts at block granularity, widened
+    margin m_eff), but with EASU 12-tap sampling (FSR.cl:362-452).  The key
+    fit trick vs the solo `_easu_kernel`: EASU's tap WEIGHTS depend only on
+    the luma plane and the sub-pixel position — both channel-invariant for
+    YUV/GRAY frames (plane 0 = luma, ops/easu._luma).  With the channel
+    axis innermost in the grid, the ci==0 (luma) step aligns the 12 luma
+    tap planes, computes the 12 weight planes + the reciprocal weight sum,
+    and PERSISTS them in scratch (scratch survives across sequential grid
+    steps); the ci>0 (chroma) steps then fuse weighting directly into the
+    horizontal shift-select — no 16-plane tap materialization — which is
+    what keeps the whole kernel ~10.6 MB of scratch at tile=256 (the naive
+    batched EASU at tile=256 exceeds the 16 MB VMEM budget; COVERAGE r4).
+
+    Per-channel de-ringing (clip to min/max of f,g,j,k, FSR.cl:318-322)
+    accumulates the 4 central taps alongside (chroma steps reuse the stale
+    luma slots t_s[0:4] as those accumulators).
+    """
+    from livevisionkit_tpu.ops import easu as easu_ops
+
+    vg_refs = refs[:n_cb]
+    src_refs = refs[n_cb : n_cb + 16]  # each (1, 1, b, b)
+    out_ref, s_s, r_s, fy_s, t_s, w_s, acc_s = refs[n_cb + 16 : n_cb + 23]
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+    ci = pl.program_id(3)
+    u8_out = out_ref.dtype == jnp.uint8
+
+    tap_list = list(easu_ops._TAPS.items())  # fixed (letter, (dx, dy)) order
+    slot = {letter: i for i, (letter, _) in enumerate(tap_list)}
+    # (rt, ct) grid position of each tap: rt = dy+1, ct = dx+1.
+    grid_of = {(dy + 1, dx + 1): letter for letter, (dx, dy) in tap_list}
+
+    rs_rows = s_s.shape[0]
+    for bi in range(4):
+        lo = bi * b
+        hi = min((bi + 1) * b, rs_rows)
+        if lo >= rs_rows:
+            continue
+        for bj in range(4):
+            s_s[lo:hi, bj * b : (bj + 1) * b] = _to_f32(
+                src_refs[bi * 4 + bj][0, 0, 0 : hi - lo, :]
+            )
+
+    twe = tw + 2 * m_eff + 4  # EASU horizontal reach: -1 left, +2 right taps
+
+    # ---- vertical alignment: 4 row-tap planes + fy ------------------------
+    # The vg strip stages through fy_s; the mask planes are materialized as
+    # values before fy_s is zeroed for fy accumulation.
+    for bj in range(n_cb):
+        fy_s[:, bj * b : (bj + 1) * b] = vg_refs[bj][0]
+    ly = fy_s[:, 0:twe]
+    row0 = (ty * th).astype(jnp.float32) - (m_eff + 1)
+    i_iota = lax.broadcasted_iota(jnp.int32, (th, twe), 0).astype(jnp.float32)
+    s_f = ly - row0 - i_iota
+    s_f = jnp.clip(s_f, 1.0, float(2 * m_eff + 1) - 1e-3)
+    s0 = jnp.floor(s_f)
+    fy = s_f - s0
+    s0i = s0.astype(jnp.int32)
+    s_lo = jnp.min(s0i)
+    s_hi = jnp.max(s0i)
+
+    r_s[...] = jnp.zeros(r_s.shape, r_s.dtype)
+    fy_s[:, 0:twe] = jnp.zeros((th, twe), jnp.float32)
+
+    def vbody(s, _):
+        mk = (s0i == s).astype(jnp.float32)
+        # One sublane rotate aligns row s-1 to row 0; the 4 row taps are
+        # static slices of the rotated plane (dr = rt - 1).
+        r = pltpu.roll(s_s[...], -(s - 1), axis=0)
+        for rt in range(4):
+            r_s[rt, :, 0:twe] += mk * r[rt : rt + th, 0:twe]
+        fy_s[:, 0:twe] += mk * fy
+        return 0
+
+    lax.fori_loop(s_lo, s_hi + 1, vbody, 0)
+
+    # ---- horizontal mask math (channel-invariant, cheap recompute) --------
+    lx = xmap_ref[0]
+    col0 = (tx * tw).astype(jnp.float32) - (m_eff + 1)
+    j_iota = lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
+    t_f = lx - col0 - j_iota
+    t_f = jnp.clip(t_f, 1.0, float(2 * m_eff + 1) - 1e-3)
+    t0 = jnp.floor(t_f)
+    fx = t_f - t0
+    t0i = t0.astype(jnp.int32)
+    t_lo = jnp.min(t0i)
+    t_hi = jnp.max(t0i)
+
+    def write_out(val):
+        if u8_out:
+            out_ref[0, 0] = jnp.clip(val + 0.5, 0.0, 255.0).astype(
+                jnp.int32
+            ).astype(jnp.uint8)
+        else:
+            out_ref[0, 0] = val
+
+    @pl.when(ci == 0)
+    def _luma_step():
+        # Align the 12 luma tap planes + fy, then compute + persist weights.
+        t_s[...] = jnp.zeros(t_s.shape, t_s.dtype)
+
+        def hbody(s, _):
+            mk = (t0i == s).astype(jnp.float32)
+            for rt in range(4):
+                r = pltpu.roll(r_s[rt], -(s - 1), axis=1)
+                for ct in range(4):
+                    letter = grid_of.get((rt, ct))
+                    if letter is None:  # 4x4 corners are not EASU taps
+                        continue
+                    t_s[slot[letter]] += mk * r[:, ct : ct + tw]
+            rf = pltpu.roll(fy_s[...], -s, axis=1)
+            t_s[12] += mk * rf[:, 0:tw]
+            return 0
+
+        lax.fori_loop(t_lo, t_hi + 1, hbody, 0)
+
+        # Inline scratch reads (no dict of 12 live tap planes): each
+        # _accumulate call's 5 loads die at the call, keeping the luma
+        # step's live-value footprint ~5 planes instead of 12.
+        def lum(letter):
+            return t_s[slot[letter]]
+
+        ppy = t_s[12]
+        ppx = fx
+        zero = jnp.zeros_like(ppx)
+        dirx, diry, length = zero, zero, zero
+        # Four bilinear corners f, g, j, k — same order as _easu_core.
+        dirx, diry, length = easu_ops._accumulate(
+            dirx, diry, length, 1 - ppx, 1 - ppy,
+            lum("b"), lum("e"), lum("f"), lum("g"), lum("j"))
+        dirx, diry, length = easu_ops._accumulate(
+            dirx, diry, length, ppx, 1 - ppy,
+            lum("c"), lum("f"), lum("g"), lum("h"), lum("k"))
+        dirx, diry, length = easu_ops._accumulate(
+            dirx, diry, length, 1 - ppx, ppy,
+            lum("f"), lum("i"), lum("j"), lum("k"), lum("n"))
+        dirx, diry, length = easu_ops._accumulate(
+            dirx, diry, length, ppx, ppy,
+            lum("g"), lum("j"), lum("k"), lum("l"), lum("o"))
+        dxx, dyx, dxy, dyy, clp, cw1, cw2, cw3, cw4 = easu_ops._shape_kernel(
+            dirx, diry, length
+        )
+        aw = zero
+        for i, (letter, (dx, dy)) in enumerate(tap_list):
+            offx = dx - ppx
+            offy = dy - ppy
+            vx = offx * dxx + offy * dyx
+            vy = offx * dxy + offy * dyy
+            d2 = jnp.minimum(vx * vx + vy * vy, clp)
+            w = 1.0 + d2 * (cw1 + d2 * (cw2 + d2 * (cw3 + d2 * cw4)))
+            w_s[i] = w
+            aw = aw + w
+        inv_aw = 1.0 / jnp.where(jnp.abs(aw) > 1e-20, aw, 1e-20)
+        w_s[12] = inv_aw
+
+        ac = zero
+        for i, (letter, _) in enumerate(tap_list):
+            ac = ac + t_s[slot[letter]] * w_s[i]
+        mi4 = jnp.minimum(
+            jnp.minimum(lum("f"), lum("g")), jnp.minimum(lum("j"), lum("k"))
+        )
+        ma4 = jnp.maximum(
+            jnp.maximum(lum("f"), lum("g")), jnp.maximum(lum("j"), lum("k"))
+        )
+        write_out(jnp.clip(ac * inv_aw, mi4, ma4))
+
+    @pl.when(ci != 0)
+    def _chroma_step():
+        # Weighting fused into the shift-select: no chroma tap planes, only
+        # the weighted accumulator + the 4 central taps for the de-ring
+        # clamp (in the stale luma slots t_s[0:4]).
+        acc_s[...] = jnp.zeros(acc_s.shape, acc_s.dtype)
+        cen = {"f": 0, "g": 1, "j": 2, "k": 3}
+        for sl in cen.values():
+            t_s[sl] = jnp.zeros((th, tw), jnp.float32)
+
+        def hbody(s, _):
+            mk = (t0i == s).astype(jnp.float32)
+            for rt in range(4):
+                r = pltpu.roll(r_s[rt], -(s - 1), axis=1)
+                for ct in range(4):
+                    letter = grid_of.get((rt, ct))
+                    if letter is None:
+                        continue
+                    tap = mk * r[:, ct : ct + tw]
+                    acc_s[...] += w_s[slot[letter]] * tap
+                    if letter in cen:
+                        t_s[cen[letter]] += tap
+            return 0
+
+        lax.fori_loop(t_lo, t_hi + 1, hbody, 0)
+        mi4 = jnp.minimum(jnp.minimum(t_s[0], t_s[1]), jnp.minimum(t_s[2], t_s[3]))
+        ma4 = jnp.maximum(jnp.maximum(t_s[0], t_s[1]), jnp.maximum(t_s[2], t_s[3]))
+        write_out(jnp.clip(acc_s[...] * w_s[12], mi4, ma4))
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("tile", "margin", "max_shift", "interpret"),
+    static_argnames=(
+        "tile", "margin", "max_shift", "interpret", "filter_mode", "fmt"
+    ),
 )
 def pallas_remap_batched(
     src_b: jax.Array,  # (S, C, H, W)
     sample_map_b: jax.Array,  # (S, 2, H, W) absolute (y, x)
-    tile: int = 256,
-    margin: int = 32,
+    tile: int | None = None,
+    margin: int | None = None,
     max_shift: int = 256,
     interpret: bool = False,
+    filter_mode: str = "bilinear",  # or "easu" (YUV/GRAY luma only)
+    fmt=None,  # PixelFormat for EASU luma selection (default YUV)
 ) -> jax.Array:
     """Batched (multi-stream) warp: the S-dependence fix for serving.
 
@@ -604,11 +818,26 @@ def pallas_remap_batched(
 
     Returns the UNFILLED warp; callers apply border fill via _apply_fill.
     """
+    if filter_mode not in ("bilinear", "easu"):
+        raise ValueError(f"unknown filter_mode {filter_mode!r}")
+    if filter_mode == "easu" and fmt is None:
+        from livevisionkit_tpu.types import PixelFormat
+
+        fmt = PixelFormat.YUV
+    if tile is None:
+        tile = 256
+    if margin is None:
+        margin = 32
     S, c, h, w = src_b.shape
     th = tw = tile
     b = tile // 2
     assert 2 * margin + 4 <= b, "2*margin+4 must fit in one half-tile block"
     m_eff = margin + b // 2
+    # Horizontal/vertical sampling reach beyond the tile: bilinear touches
+    # [-1, +1] around floor (the +2 below), EASU [-1, +2] (taps) + lerp
+    # slack (the +4) — both must fit the 4-block window.
+    reach = 4 if filter_mode == "easu" else 2
+    assert tw + 2 * m_eff + reach <= 4 * b, "sampling window exceeds 4 blocks"
 
     idm = remap_ops.identity_map((h, w))
     # Mean displacement as mean(map) - mean(identity): one fused reduction
@@ -680,7 +909,7 @@ def pallas_remap_batched(
     # width m_eff+1 equals the window's left reach), so ceil(twe/b) blocks
     # cover it exactly — no +1 (r3 advisor: the extra block was ~20% wasted
     # vg HBM traffic per tile).
-    n_cb = -(-(tw + 2 * m_eff + 2) // b)  # col-blocks covering twe
+    n_cb = -(-(tw + 2 * m_eff + reach) // b)  # col-blocks covering twe
     wv = b * (2 * gw + n_cb)
     d_v = vmap_y - idm[0]
     # Column halo by LINEAR extrapolation, not replication: the strip is
@@ -703,9 +932,30 @@ def pallas_remap_batched(
     d_x = jnp.pad(d_x, ((0, 0), (0, h2 - h), (0, w2 - w)), mode="edge")
     xg = lax.broadcasted_iota(jnp.float32, (h2, w2), 1)[None] + d_x
 
-    kernel = functools.partial(
-        _kernel_batched, th=th, tw=tw, b=b, m_eff=m_eff, n_cb=n_cb
-    )
+    rs_rows = min(_round_up(2 * m_eff + reach + th, 8), 4 * b)
+    strip_w = max(_round_up(tw + 2 * m_eff + reach, 128), n_cb * b)
+    if filter_mode == "easu":
+        kernel = functools.partial(
+            _easu_kernel_batched, th=th, tw=tw, b=b, m_eff=m_eff, n_cb=n_cb,
+            fmt=fmt,
+        )
+        scratch_shapes = [
+            pltpu.VMEM((rs_rows, 4 * b), jnp.float32),   # s_s
+            pltpu.VMEM((4, th, strip_w), jnp.float32),   # r_s row taps
+            pltpu.VMEM((th, strip_w), jnp.float32),      # fy_s (vg stage+fy)
+            pltpu.VMEM((13, th, tw), jnp.float32),       # t_s luma taps + fy
+            pltpu.VMEM((13, th, tw), jnp.float32),       # w_s weights + 1/aw
+            pltpu.VMEM((th, tw), jnp.float32),           # acc_s
+        ]
+    else:
+        kernel = functools.partial(
+            _kernel_batched, th=th, tw=tw, b=b, m_eff=m_eff, n_cb=n_cb
+        )
+        scratch_shapes = [
+            pltpu.VMEM((rs_rows, 4 * b), jnp.float32),
+            pltpu.VMEM((th, strip_w), jnp.float32),
+            pltpu.VMEM((th, tw), jnp.float32),
+        ]
     vg_specs = [
         pl.BlockSpec(
             (1, th, b),
@@ -740,23 +990,24 @@ def pallas_remap_batched(
             (1, 1, th, tw),
             lambda s, ty, tx, ci, q_ref: (s, ci, ty, tx),
         ),
-        scratch_shapes=[
-            pltpu.VMEM(
-                (min(_round_up(2 * m_eff + 2 + th, 8), 4 * b), 4 * b),
-                jnp.float32,
-            ),
-            pltpu.VMEM(
-                (th, max(_round_up(tw + 2 * m_eff + 2, 128), n_cb * b)),
-                jnp.float32,
-            ),
-            pltpu.VMEM((th, tw), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
+    )
+    # EASU at tile=256 measures ~18.4 MB of scoped VMEM (scratch + the luma
+    # step's live weight/tap value planes) vs XLA's default 16 MB scoped
+    # budget — raise the kernel's limit (v5e VMEM has headroom above the
+    # default); tile halving instead is blocked by Mosaic's 128-lane block
+    # minimum (b=64 source blocks are not lane-aligned).
+    params = (
+        pltpu.CompilerParams(vmem_limit_bytes=28 * 1024 * 1024)
+        if filter_mode == "easu"
+        else None
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((S, c, h2, w2), src_b.dtype),
         interpret=interpret,
+        compiler_params=params,
     )(qp, xg, *([vg] * n_cb), *([big] * 16))
     return out[:, :, :h, :w]
 

@@ -327,3 +327,109 @@ def test_easu_mode_3ch(rng):
     )
     err = np.abs(ref - got)[:, 24:-24, 24:-24]
     assert err.max() < 2e-2, err.max()
+
+
+def test_easu_batched_matches_oracle(rng):
+    """Batched EASU kernel (the reference-parity serving path) vs the
+    vmapped XLA easu_remap oracle: guards the weight-persist scratch
+    scheme (luma step computes + stores the 12 weight planes; chroma
+    steps fuse weighting into the shift-select)."""
+    from livevisionkit_tpu.ops import easu as easu_ops
+    from livevisionkit_tpu.types import PixelFormat
+
+    srcs, smaps = _batched_case(rng, channels=3)
+    got = np.asarray(
+        pwarp.pallas_remap_batched(
+            srcs, smaps, tile=64, margin=8, interpret=True,
+            filter_mode="easu", fmt=PixelFormat.YUV,
+        )
+    )
+    ref = np.asarray(
+        jax.vmap(
+            lambda im, sm: easu_ops.easu_remap(
+                im, sm, fmt=PixelFormat.YUV, fill=None
+            )
+        )(srcs, smaps)
+    )
+    sm = np.asarray(smaps)
+    h, w = srcs.shape[-2:]
+    inside = (
+        (sm[:, 0] >= 2) & (sm[:, 0] <= h - 4)
+        & (sm[:, 1] >= 2) & (sm[:, 1] <= w - 4)
+    )[:, None]
+    err = (np.abs(ref - got) * inside)[..., 16:-16, 16:-16]
+    # Bulk/tail split as in the solo EASU kernel test (floor flips at
+    # near-integer positions select an adjacent, equally valid tap grid),
+    # with a wider tail bound: _batched_case's 0.015-rad rotation is 3x the
+    # solo test's, and the two-pass kernel's footprint-shear difference on
+    # noise textures scales with dY/dx (see the warp.py module docstring).
+    # test_easu_batched_matches_solo is the strict same-semantics check.
+    assert np.quantile(err, 0.999) < 4e-2, np.quantile(err, 0.999)
+    assert err.mean() < 1e-3, err.mean()
+
+
+def test_easu_batched_matches_solo(rng):
+    """Batched vs solo EASU Pallas kernels: the weight-reuse chroma path
+    must agree with the solo kernel's direct per-channel evaluation."""
+    from livevisionkit_tpu.types import PixelFormat
+
+    srcs, smaps = _batched_case(rng, channels=3)
+    got = np.asarray(
+        pwarp.pallas_remap_batched(
+            srcs, smaps, tile=64, margin=8, interpret=True,
+            filter_mode="easu", fmt=PixelFormat.YUV,
+        )
+    )
+    for s in range(srcs.shape[0]):
+        solo = np.asarray(
+            pwarp.pallas_remap(
+                srcs[s], smaps[s], fill=None, fill_mode=False,
+                interpret=True, tile=(64, 64), margin=16,
+                filter_mode="easu", fmt=PixelFormat.YUV,
+            )
+        )
+        err = np.abs(solo - got[s])[..., 16:-16, 16:-16]
+        assert np.quantile(err, 0.999) < 2e-2, (s, np.quantile(err, 0.999))
+        assert err.mean() < 1e-3, (s, err.mean())
+
+
+def test_easu_batched_dispatch_and_u8(rng, monkeypatch):
+    """jax.vmap(remap) with filter_mode='easu' + YUV must route into the
+    batched EASU kernel (not the sequential lax.map fallback), preserving
+    u8 in/out and border fill."""
+    from livevisionkit_tpu.ops import easu as easu_ops
+    from livevisionkit_tpu.types import PixelFormat
+
+    srcs, smaps = _batched_case(rng, channels=3)
+    srcs_u8 = jnp.asarray(
+        np.clip(np.asarray(srcs) * 255 + 0.5, 0, 255).astype(np.uint8)
+    )
+    calls = []
+    orig = pwarp.pallas_remap_batched
+
+    def spy(src_b, smap_b, **kw):
+        calls.append(kw.get("filter_mode"))
+        kw.update(tile=64, margin=8)
+        return orig(src_b, smap_b, **kw)
+
+    monkeypatch.setattr(pwarp, "pallas_remap_batched", spy)
+    monkeypatch.setenv("LVK_REMAP", "pallas")
+    got = jax.vmap(
+        lambda im, sm: remap_ops.remap(
+            im, sm, fill=0.0, filter_mode="easu", fmt=PixelFormat.YUV
+        )
+    )(srcs_u8, smaps)
+    assert calls == ["easu"], calls
+    assert got.dtype == jnp.uint8
+    ref = np.asarray(
+        jax.vmap(
+            lambda im, sm: easu_ops.easu_remap(
+                im.astype(jnp.float32), sm, fmt=PixelFormat.YUV, fill=0.0
+            )
+        )(srcs_u8, smaps)
+    )
+    err = np.abs(np.asarray(got).astype(np.float32) - ref)[..., 16:-16, 16:-16]
+    # f32 tail (4e-2 on this rotation, see the oracle test) x 255 + the
+    # 0.5 LSB quantization: bound bulk + mean.
+    assert np.quantile(err, 0.999) <= 11.0, np.quantile(err, 0.999)
+    assert err.mean() < 1.0, err.mean()
