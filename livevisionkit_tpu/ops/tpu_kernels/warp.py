@@ -316,7 +316,14 @@ def pallas_remap(
     """Backward-warp via the Pallas kernel.  Matches ops.remap.remap
     (bilinear) / ops.easu.easu_remap (easu) for warps whose post-mean-shift
     displacement fits `margin` px (stabilization/mesh/lens warps by
-    construction)."""
+    construction).
+
+    The output grid is the sample_map's spatial shape; the source may be
+    LARGER than the output (r5): `parallel/spatial.py::remap_sharded` warps
+    each device's halo-padded local stripe with a map rebased into stripe
+    coordinates — the stripe offset is just part of the mean displacement
+    the kernel already removes (one dynamic-slice of the padded source).
+    """
     squeeze = src.ndim == 2
     if squeeze:
         src = src[None]
@@ -326,7 +333,8 @@ def pallas_remap(
     # kernel output is always f32.
     if src.dtype != jnp.uint8:
         src = src.astype(jnp.float32)
-    c, h, w = src.shape
+    c, h_src, w_src = src.shape
+    h, w = sample_map.shape[-2:]  # output grid; coords are in SOURCE frame
     th, tw = tile
     assert 2 * margin + 4 <= min(th, tw), (
         "2*margin+4 must fit in one tile (2-block window span)"
@@ -341,14 +349,23 @@ def pallas_remap(
     map_x = sample_map[1] - mdx.astype(jnp.float32)
 
     # ---- 2. first-order separability correction --------------------------
-    # Central difference via fused pad+slice (jnp.roll would concat-copy the
-    # map twice); edge columns get the clamped one-sided derivative.
-    mp = jnp.pad(map_y, ((0, 0), (1, 1)), mode="edge")
-    dy_dx = (mp[:, 2:] - mp[:, :-2]) * 0.5
+    # Central differences; FULL one-sided differences at the boundary
+    # columns (edge-padded central differences halve the slope there, which
+    # costs ~0.01 px of vertical coordinate error at edge columns — visible
+    # through EASU weighting when the output grid is a sharded stripe whose
+    # every edge is such a column; same fix as the batched kernel, r4).
+    dy_dx = jnp.concatenate(
+        [
+            map_y[:, 1:2] - map_y[:, 0:1],
+            (map_y[:, 2:] - map_y[:, :-2]) * 0.5,
+            map_y[:, -1:] - map_y[:, -2:-1],
+        ],
+        axis=1,
+    )
     vmap_y = map_y - dy_dx * (map_x - idm[1])
     # Clamp into the halo reach (replicate semantics via edge padding).
-    vmap_y = jnp.clip(vmap_y, float(2 - margin), float(h - 3 + margin))
-    map_x = jnp.clip(map_x, float(2 - margin), float(w - 3 + margin))
+    vmap_y = jnp.clip(vmap_y, float(2 - margin), float(h_src - 3 + margin))
+    map_x = jnp.clip(map_x, float(2 - margin), float(w_src - 3 + margin))
 
     # ---- 3. pad into the (margin+1)-shifted tile layout -------------------
     # The source and the vmap columns are shifted by sft = margin+1, so the
@@ -364,12 +381,15 @@ def pallas_remap(
     # - sft]).  Fusing the two stages keeps real frame content in the halo
     # band (a separate mean-shift pass would edge-replicate it) and saves a
     # full-frame copy.
+    # Bottom/right pads cover the dynamic-slice reach for any |shift| <=
+    # max_shift; a source already wider than the output grid (sharded
+    # stripe) may need none (the max(0, ...)).
     src_big = jnp.pad(
         src,
         (
             (0, 0),
-            (max_shift + sft, max_shift + hs - h - sft),
-            (max_shift + sft, max_shift + ws - w - sft),
+            (max_shift + sft, max(0, max_shift + hs - h_src - sft)),
+            (max_shift + sft, max(0, max_shift + ws - w_src - sft)),
         ),
         mode="edge",
     )
@@ -452,7 +472,7 @@ def pallas_remap(
     out = out[:, :h, :w]
     if fill_mode:
         out = _apply_fill(
-            out, sample_map, (h, w), fill, jnp.float32,
+            out, sample_map, (h_src, w_src), fill, jnp.float32,
             floor_inside=(filter_mode == "easu"),
         )
     return out[0] if squeeze else out
@@ -580,6 +600,7 @@ def _easu_kernel_batched(
     m_eff: int,
     n_cb: int,
     fmt,
+    ablate: frozenset = frozenset(),
 ):
     """Batched EASU warp: the reference-parity serving kernel.
 
@@ -658,7 +679,8 @@ def _easu_kernel_batched(
         fy_s[:, 0:twe] += mk * fy
         return 0
 
-    lax.fori_loop(s_lo, s_hi + 1, vbody, 0)
+    if "vert" not in ablate:
+        lax.fori_loop(s_lo, s_hi + 1, vbody, 0)
 
     # ---- horizontal mask math (channel-invariant, cheap recompute) --------
     lx = xmap_ref[0]
@@ -698,7 +720,13 @@ def _easu_kernel_batched(
             t_s[12] += mk * rf[:, 0:tw]
             return 0
 
-        lax.fori_loop(t_lo, t_hi + 1, hbody, 0)
+        if "luma_h" not in ablate:
+            lax.fori_loop(t_lo, t_hi + 1, hbody, 0)
+        if "weights" in ablate:
+            for i in range(13):
+                w_s[i] = jnp.full((th, tw), 1.0 / 12.0, jnp.float32)
+            write_out(t_s[5])
+            return
 
         # Inline scratch reads (no dict of 12 live tap planes): each
         # _accumulate call's 5 loads die at the call, keeping the luma
@@ -774,7 +802,8 @@ def _easu_kernel_batched(
                         t_s[cen[letter]] += tap
             return 0
 
-        lax.fori_loop(t_lo, t_hi + 1, hbody, 0)
+        if "chroma_h" not in ablate:
+            lax.fori_loop(t_lo, t_hi + 1, hbody, 0)
         mi4 = jnp.minimum(jnp.minimum(t_s[0], t_s[1]), jnp.minimum(t_s[2], t_s[3]))
         ma4 = jnp.maximum(jnp.maximum(t_s[0], t_s[1]), jnp.maximum(t_s[2], t_s[3]))
         write_out(jnp.clip(acc_s[...] * w_s[12], mi4, ma4))
@@ -783,7 +812,8 @@ def _easu_kernel_batched(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "tile", "margin", "max_shift", "interpret", "filter_mode", "fmt"
+        "tile", "margin", "max_shift", "interpret", "filter_mode", "fmt",
+        "_ablate",
     ),
 )
 def pallas_remap_batched(
@@ -795,6 +825,7 @@ def pallas_remap_batched(
     interpret: bool = False,
     filter_mode: str = "bilinear",  # or "easu" (YUV/GRAY luma only)
     fmt=None,  # PixelFormat for EASU luma selection (default YUV)
+    _ablate: tuple = (),  # profiling only: kernel stages to skip (wrong output)
 ) -> jax.Array:
     """Batched (multi-stream) warp: the S-dependence fix for serving.
 
@@ -937,7 +968,7 @@ def pallas_remap_batched(
     if filter_mode == "easu":
         kernel = functools.partial(
             _easu_kernel_batched, th=th, tw=tw, b=b, m_eff=m_eff, n_cb=n_cb,
-            fmt=fmt,
+            fmt=fmt, ablate=frozenset(_ablate),
         )
         scratch_shapes = [
             pltpu.VMEM((rs_rows, 4 * b), jnp.float32),   # s_s

@@ -11,9 +11,18 @@ design, with the reference defining only the per-stream numerics:
     inserts zero collectives — linear scaling by construction.
   * **tile axis (spatial sharding)**: full-resolution frame tensors (the
     delay queue, warp/remap) shard their W dimension across "tile".  The
-    tracking path runs at detection resolution (tiny) and is replicated;
-    the remap gathers across tile boundaries become XLA-inserted
-    collective-permutes limited to the warp's reach.
+    tracking path runs at detection resolution (tiny) and is replicated.
+    What pjit actually does to the remap depends on the dispatch
+    (ops/remap.py): the XLA gather path is partitionable — XLA inserts
+    collective-permutes limited to the warp's reach — but the Pallas warp
+    is an opaque custom call pjit CANNOT partition: XLA all-gathers (or
+    replicates) its operands around it, which defeats the tile axis
+    entirely.  On real multi-chip TPUs, tile-sharded warps must therefore
+    go through `parallel/spatial.py::remap_sharded`, which ppermute-
+    exchanges halos and runs the Pallas kernel PER DEVICE inside
+    `shard_map` (bilinear and the reference-parity EASU filter).  The CPU
+    virtual-mesh dryrun does not expose the pjit/pallas trap because
+    `_pallas_eligible` routes off-TPU calls to the XLA path.
 """
 
 from __future__ import annotations

@@ -96,11 +96,19 @@ def test_multistream_matches_single_stream(rng, use_mesh):
             assert abs(ta - twa) < 1e-6
             # The sharded program fuses the solver/smoothing reductions
             # differently from the single-stream compile; corrections that
-            # differ only in the float tail can flip a u8 delay-queue
-            # quantization boundary at isolated pixels.  Require equality
-            # to 2e-5 at >=99.9% of pixels and <=1 u8 LSB everywhere.
+            # differ only in the float tail can flip the corrective warp's
+            # u8 re-quantization (the reference's 8-bit UMat stores) at
+            # isolated pixels.  The comparison happens AFTER the YUV->BGR
+            # output conversion, whose rows mix planes (B <- 1*Y + 1.772*U,
+            # R <- 1*Y + 1.402*V), so 1-LSB flips — possibly coincident in
+            # two planes at the same pixel — show up scaled by up to the
+            # largest row abs-sum, 2.772 (r4 advisor follow-up: measured
+            # maxima 1.14/255 and 2.03/255 across runs, i.e. a Y flip plus
+            # chroma mixing / two coincident flips).  Bound by 2.772/255
+            # with tail slack, and require the flips isolated: equality to
+            # 2e-5 at >=99.9% of pixels.
             diff = np.abs(ga.astype(np.float32) - wa.astype(np.float32))
-            assert diff.max() <= 1.0 / 255.0 + 2e-5, diff.max()
+            assert diff.max() <= 2.772 / 255.0 + 2e-5, diff.max()
             assert (diff > 2e-5).mean() <= 1e-3, (diff > 2e-5).mean()
         # Flushed tail carries the last two input frames' timestamps.
         assert [round(t * 30) for (_, t) in got[i][-2:]] == [10, 11]

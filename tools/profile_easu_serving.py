@@ -56,15 +56,41 @@ def main():
     from livevisionkit_tpu.types import PixelFormat
 
     print(f"backend: {jax.default_backend()}")
-    args = [a for a in sys.argv[1:] if a != "--realistic"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     realistic = "--realistic" in sys.argv[1:]
     sizes = [int(a) for a in args] or [8]
+
+    ablate_only = "--ablate-only" in sys.argv
 
     for S in sizes:
         src_f, smaps = (
             make_inputs_realistic(S) if realistic else make_inputs(S)
         )
         src = jnp.clip(src_f * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+
+        if ablate_only:
+            def make_body(ablate):
+                def body_easu_b(carry, t):
+                    out = pwarp.pallas_remap_batched(
+                        src, smaps + 1e-6 * t, filter_mode="easu",
+                        fmt=PixelFormat.YUV, _ablate=ablate,
+                    )
+                    return carry, jnp.sum(
+                        out[:, :, ::256, ::256].astype(jnp.int32)
+                    )
+                return body_easu_b
+
+            for ab in (
+                (), ("weights",), ("chroma_h",), ("luma_h",),
+                ("luma_h", "chroma_h"), ("vert",),
+                ("vert", "luma_h", "chroma_h", "weights"),
+            ):
+                ms = scan_time(make_body(ab), jnp.float32(0), stat="median")
+                print(
+                    f"S={S} easu batched -{','.join(ab):34s}: {ms:7.3f} ms",
+                    flush=True,
+                )
+            continue
 
         def body_bilinear(carry, t):
             out = pwarp.pallas_remap_batched(src, smaps + 1e-6 * t)
@@ -88,17 +114,45 @@ def main():
         print(f"S={S} easu lax.map    : {ms:7.3f} ms ({ms / S:6.3f}/stream)",
               flush=True)
 
-        if hasattr(pwarp, "_easu_kernel_batched"):
-            def body_easu_b(carry, t):
-                out = pwarp.pallas_remap_batched(
-                    src, smaps + 1e-6 * t, filter_mode="easu",
-                    fmt=PixelFormat.YUV,
-                )
-                return carry, jnp.sum(out[:, :, ::256, ::256].astype(jnp.int32))
+        def body_bil_map(carry, t):
+            out = jax.lax.map(
+                lambda args: pwarp.pallas_remap(
+                    args[0], args[1], fill=None, fill_mode=False,
+                ),
+                (src, smaps + 1e-6 * t),
+            )
+            return carry, jnp.sum(out[:, :, ::256, ::256].astype(jnp.int32))
 
-            ms = scan_time(body_easu_b, jnp.float32(0), stat="median")
+        ms = scan_time(body_bil_map, jnp.float32(0), stat="median")
+        print(f"S={S} bilinear lax.map: {ms:7.3f} ms ({ms / S:6.3f}/stream)",
+              flush=True)
+
+        if hasattr(pwarp, "_easu_kernel_batched"):
+            def make_body(ablate):
+                def body_easu_b(carry, t):
+                    out = pwarp.pallas_remap_batched(
+                        src, smaps + 1e-6 * t, filter_mode="easu",
+                        fmt=PixelFormat.YUV, _ablate=ablate,
+                    )
+                    return carry, jnp.sum(
+                        out[:, :, ::256, ::256].astype(jnp.int32)
+                    )
+                return body_easu_b
+
+            ms = scan_time(make_body(()), jnp.float32(0), stat="median")
             print(f"S={S} easu batched    : {ms:7.3f} ms ({ms / S:6.3f}/stream)",
                   flush=True)
+            if "--ablate" in sys.argv:
+                for ab in (
+                    ("weights",), ("chroma_h",), ("luma_h",),
+                    ("luma_h", "chroma_h"), ("vert",),
+                    ("vert", "luma_h", "chroma_h", "weights"),
+                ):
+                    ms = scan_time(make_body(ab), jnp.float32(0), stat="median")
+                    print(
+                        f"S={S} easu batched -{','.join(ab):30s}: {ms:7.3f} ms",
+                        flush=True,
+                    )
 
 
 if __name__ == "__main__":
