@@ -209,30 +209,15 @@ def _pallas_core(interpret: bool, filter_mode: str = "bilinear", fmt=None):
         if not smap_bat:
             smap_b = jnp.broadcast_to(smap_b[None], (axis_size,) + smap_b.shape)
         if filter_mode == "easu":
-            from livevisionkit_tpu.types import PixelFormat
-
-            if fmt in (PixelFormat.YUV, PixelFormat.GRAY, None):
-                # Batched EASU kernel: luma = plane 0, so the tap weights
-                # are computed once per tile at the luma grid step and
-                # reused for chroma (see _easu_kernel_batched).
-                return pwarp.pallas_remap_batched(
-                    img_b, smap_b, interpret=interpret,
-                    filter_mode="easu", fmt=fmt,
-                ), True
-            # RGB-luma formats mix all channels into the luma plane, which
-            # the per-channel batched grid cannot see at once: run the solo
-            # kernel per stream under a sequential lax.map (each iteration
-            # is the full solo pallas path incl. its per-stream
-            # dynamic-slice mean shift, which is slice-not-gather when the
-            # batch axis is a scan axis).
-            out = jax.lax.map(
-                lambda args: pwarp.pallas_remap(
-                    args[0], args[1], fill=None, fill_mode=False,
-                    interpret=interpret, filter_mode="easu", fmt=fmt,
-                ),
-                (img_b, smap_b),
-            )
-            return out, True
+            # Batched EASU kernel for every format: luma = plane 0 (real
+            # channel 0 for YUV/GRAY; a wrapper-synthesized 2x-luma plane
+            # for RGB-family formats), so the tap weights are computed once
+            # per tile at the luma grid step and reused for the remaining
+            # channels (see _easu_kernel_batched / pallas_remap_batched).
+            return pwarp.pallas_remap_batched(
+                img_b, smap_b, interpret=interpret,
+                filter_mode="easu", fmt=fmt,
+            ), True
         return pwarp.pallas_remap_batched(img_b, smap_b, interpret=interpret), True
 
     _PALLAS_CORE_CACHE[key] = core

@@ -599,7 +599,6 @@ def _easu_kernel_batched(
     b: int,
     m_eff: int,
     n_cb: int,
-    fmt,
     ablate: frozenset = frozenset(),
 ):
     """Batched EASU warp: the reference-parity serving kernel.
@@ -608,9 +607,12 @@ def _easu_kernel_batched(
     (S, gh, gw, c), per-stream mean shifts at block granularity, widened
     margin m_eff), but with EASU 12-tap sampling (FSR.cl:362-452).  The key
     fit trick vs the solo `_easu_kernel`: EASU's tap WEIGHTS depend only on
-    the luma plane and the sub-pixel position — both channel-invariant for
-    YUV/GRAY frames (plane 0 = luma, ops/easu._luma).  With the channel
-    axis innermost in the grid, the ci==0 (luma) step aligns the 12 luma
+    the luma plane and the sub-pixel position — both channel-invariant.
+    Plane 0 is the luma plane BY CONSTRUCTION: for YUV/GRAY it is the real
+    channel 0 (ops/easu._luma), for RGB-family formats the wrapper prepends
+    a synthetic luma plane (see pallas_remap_batched) and discards its
+    warped output.  With the channel axis innermost in the grid, the ci==0
+    (luma) step aligns the 12 luma
     tap planes, computes the 12 weight planes + the reciprocal weight sum,
     and PERSISTS them in scratch (scratch survives across sequential grid
     steps); the ci>0 (chroma) steps then fuse weighting directly into the
@@ -823,7 +825,7 @@ def pallas_remap_batched(
     margin: int | None = None,
     max_shift: int = 256,
     interpret: bool = False,
-    filter_mode: str = "bilinear",  # or "easu" (YUV/GRAY luma only)
+    filter_mode: str = "bilinear",  # or "easu"
     fmt=None,  # PixelFormat for EASU luma selection (default YUV)
     _ablate: tuple = (),  # profiling only: kernel stages to skip (wrong output)
 ) -> jax.Array:
@@ -851,10 +853,37 @@ def pallas_remap_batched(
     """
     if filter_mode not in ("bilinear", "easu"):
         raise ValueError(f"unknown filter_mode {filter_mode!r}")
-    if filter_mode == "easu" and fmt is None:
+    synth_luma = False
+    if filter_mode == "easu":
         from livevisionkit_tpu.types import PixelFormat
 
-        fmt = PixelFormat.YUV
+        if fmt is None:
+            fmt = PixelFormat.YUV
+        if fmt not in (PixelFormat.YUV, PixelFormat.GRAY):
+            # RGB-family luma mixes all three channels (FSR.cl:286-297),
+            # which the per-channel grid cannot see at once: prepend the
+            # 2x-luma plane XLA-side so the kernel's plane-0-is-luma
+            # contract holds for every format, and discard its warped
+            # output.  The shift-select taps are exact source pixels (no
+            # value interpolation), so sampling a precomputed luma plane
+            # equals computing luma from the channel taps in-kernel.  For
+            # u8 frames the plane is stored HALF-scale to stay in u8: the
+            # EASU weight math is luma-scale-invariant (directions are
+            # normalized, lengths are difference RATIOS) except the
+            # degenerate-direction test dir_r < 1/32768, which quantized
+            # content clears by >3 orders of magnitude; the u8 rounding of
+            # the mix adds <=0.5 LSB of luma noise to direction estimates.
+            synth_luma = True
+            lum = (
+                0.5 * src_b[:, 0].astype(jnp.float32)
+                + src_b[:, 1].astype(jnp.float32)
+                + 0.5 * src_b[:, 2].astype(jnp.float32)
+            )
+            if src_b.dtype == jnp.uint8:
+                lum = jnp.clip(lum * 0.5 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+            else:
+                lum = lum.astype(src_b.dtype)
+            src_b = jnp.concatenate([lum[:, None], src_b], axis=1)
     if tile is None:
         tile = 256
     if margin is None:
@@ -968,7 +997,7 @@ def pallas_remap_batched(
     if filter_mode == "easu":
         kernel = functools.partial(
             _easu_kernel_batched, th=th, tw=tw, b=b, m_eff=m_eff, n_cb=n_cb,
-            fmt=fmt, ablate=frozenset(_ablate),
+            ablate=frozenset(_ablate),
         )
         scratch_shapes = [
             pltpu.VMEM((rs_rows, 4 * b), jnp.float32),   # s_s
@@ -1040,7 +1069,8 @@ def pallas_remap_batched(
         interpret=interpret,
         compiler_params=params,
     )(qp, xg, *([vg] * n_cb), *([big] * 16))
-    return out[:, :, :h, :w]
+    out = out[:, :, :h, :w]
+    return out[:, 1:] if synth_luma else out
 
 
 def _apply_fill(out, sample_map, size, fill, dtype, floor_inside=False):

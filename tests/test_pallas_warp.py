@@ -393,6 +393,87 @@ def test_easu_batched_matches_solo(rng):
         assert err.mean() < 1e-3, (s, err.mean())
 
 
+def test_easu_batched_rgb_synthetic_luma(rng):
+    """r4 VERDICT #6: RGB-family batched EASU rides the batched kernel via
+    a wrapper-prepended 2x-luma plane instead of serializing through
+    lax.map.  The shift-select taps are exact source pixels, so sampling
+    the precomputed luma plane must agree with the solo kernel's in-kernel
+    per-tap luma mix to fp-reassociation error."""
+    from livevisionkit_tpu.types import PixelFormat
+
+    srcs, smaps = _batched_case(rng, channels=3)
+    got = np.asarray(
+        pwarp.pallas_remap_batched(
+            srcs, smaps, tile=64, margin=8, interpret=True,
+            filter_mode="easu", fmt=PixelFormat.BGR,
+        )
+    )
+    assert got.shape == srcs.shape  # synthetic plane dropped
+    for s in range(srcs.shape[0]):
+        solo = np.asarray(
+            pwarp.pallas_remap(
+                srcs[s], smaps[s], fill=None, fill_mode=False,
+                interpret=True, tile=(64, 64), margin=16,
+                filter_mode="easu", fmt=PixelFormat.BGR,
+            )
+        )
+        err = np.abs(solo - got[s])[..., 16:-16, 16:-16]
+        assert np.quantile(err, 0.999) < 2e-2, (s, np.quantile(err, 0.999))
+        assert err.mean() < 1e-3, (s, err.mean())
+
+
+def test_easu_batched_rgb_u8_dispatch(rng, monkeypatch):
+    """vmap(remap) with an RGB format now routes into the batched kernel
+    too (the lax.map fallback is gone); u8 frames keep the u8 fast path
+    with the half-scale synthetic luma plane."""
+    from livevisionkit_tpu.ops import easu as easu_ops
+    from livevisionkit_tpu.types import PixelFormat
+
+    srcs, smaps = _batched_case(rng, channels=3)
+    srcs_u8 = jnp.asarray(
+        np.clip(np.asarray(srcs) * 255 + 0.5, 0, 255).astype(np.uint8)
+    )
+    calls = []
+    orig = pwarp.pallas_remap_batched
+
+    def spy(src_b, smap_b, **kw):
+        calls.append(kw.get("filter_mode"))
+        kw.update(tile=64, margin=8)
+        return orig(src_b, smap_b, **kw)
+
+    monkeypatch.setattr(pwarp, "pallas_remap_batched", spy)
+    monkeypatch.setenv("LVK_REMAP", "pallas")
+    got = jax.vmap(
+        lambda im, sm: remap_ops.remap(
+            im, sm, fill=0.0, filter_mode="easu", fmt=PixelFormat.BGR
+        )
+    )(srcs_u8, smaps)
+    assert calls == ["easu"], calls
+    assert got.dtype == jnp.uint8
+    ref = np.asarray(
+        jax.vmap(
+            lambda im, sm: easu_ops.easu_remap(
+                im.astype(jnp.float32), sm, fmt=PixelFormat.BGR, fill=0.0
+            )
+        )(srcs_u8, smaps)
+    )
+    sm = np.asarray(smaps)
+    h, w = srcs.shape[-2:]
+    inside = (
+        (sm[:, 0] >= 2) & (sm[:, 0] <= h - 4)
+        & (sm[:, 1] >= 2) & (sm[:, 1] <= w - 4)
+    )[:, None]
+    err = (np.abs(ref - np.asarray(got).astype(np.float32)) * inside)[
+        ..., 16:-16, 16:-16
+    ]
+    # u8 path: output quantization alone floors the mean |err| at 0.25 LSB
+    # (uniform rounding residual); the half-scale luma plane's u8 rounding
+    # perturbs tap weights near floor-flip positions (tail).  Measured
+    # mean 0.28 on this fixture.
+    assert np.quantile(err, 0.99) <= 2.0, np.quantile(err, 0.99)
+    assert err.mean() < 0.5, err.mean()
+
+
 def test_easu_batched_dispatch_and_u8(rng, monkeypatch):
     """jax.vmap(remap) with filter_mode='easu' + YUV must route into the
     batched EASU kernel (not the sequential lax.map fallback), preserving

@@ -188,16 +188,20 @@ def loopback(args) -> None:
         for _ in range(4)
     ]
 
-    def make_reader(i):
+    def make_reader(i, slow_sleep):
         def gen():
             frames = args.frames
             if i == 1:
                 frames = args.frames // 2  # early EOF stream
             for t in range(frames):
                 if i == 0 and t % 4 == 1:
-                    # Deliberately slow decoder: long enough to exceed any
-                    # plausible CPU batch time so bubbles MUST happen.
-                    time.sleep(0.6)
+                    # Deliberately slow decoder: must exceed the batch step
+                    # so bubbles MUST happen.  A fixed sleep is flaky — under
+                    # machine load (e.g. a concurrent XLA compile) CPU batch
+                    # steps were measured >0.6 s, leaving the reader always
+                    # ready — so the sleep scales off the measured
+                    # post-compile batch time.
+                    time.sleep(slow_sleep)
                 yield ring[t % len(ring)], t / 30.0
         return gen()
 
@@ -209,13 +213,21 @@ def loopback(args) -> None:
     def on_output(i, px, ts):
         counts[i] += 1
 
-    readers = [make_reader(i) for i in range(n)]
     log("loopback warm-up (compile) ...")
     multistream.stream_multi(
         filt, [iter([(ring[0], 0.0)] * 4) for _ in range(n)],
         on_output=lambda *a: None, slow_stream_timeout=0.01,
     )
-    log(f"loopback run: {n} streams x {args.frames} frames ...")
+    # Post-compile timing pass: the adaptive slow-stream sleep must dominate
+    # the REAL batch step, not the compile-inflated warm-up average.
+    tstats = multistream.stream_multi(
+        filt, [iter([(ring[0], 0.0)] * 4) for _ in range(n)],
+        on_output=lambda *a: None, slow_stream_timeout=0.01,
+    )
+    slow_sleep = max(0.6, 6.0 * tstats.batch_time.average())
+    readers = [make_reader(i, slow_sleep) for i in range(n)]
+    log(f"loopback run: {n} streams x {args.frames} frames "
+        f"(slow-stream sleep {slow_sleep:.2f}s) ...")
     t0 = time.perf_counter()
     stats = multistream.stream_multi(
         filt, readers, on_output=on_output, slow_stream_timeout=0.01,
