@@ -121,3 +121,27 @@ def test_oracle_pipeline_parity():
     )
     assert proc.returncode == 0, proc.stdout[-1500:] + proc.stderr[-800:]
     assert "ORACLE OK" in proc.stdout
+
+
+@pytest.mark.slow
+def test_oracle_pipeline_parity_mesh():
+    """r4 VERDICT #7: the 16x16 mesh (Vector Field) mode against the same
+    homography oracle — the fixture's motion IS a homography, so a correct
+    mesh solve must land on the same trajectory (r5 measured ratios
+    jitter 0.995 / ATE 0.972)."""
+    import os
+    import subprocess
+    import sys
+
+    pytest.importorskip("cv2")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "oracle_pipeline.py"),
+         "--model", "field"],
+        capture_output=True, text=True, timeout=1500,
+        env={**{k: v for k, v in os.environ.items() if k != "XLA_FLAGS"},
+             "PYTHONPATH": "", "JAX_PLATFORMS": "cpu"},
+        cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stdout[-1500:] + proc.stderr[-800:]
+    assert "ORACLE OK" in proc.stdout

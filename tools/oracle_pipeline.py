@@ -122,6 +122,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--model", default="homography",
+                    choices=("homography", "field"),
+                    help="our stabilizer's motion model; 'field' runs the "
+                         "16x16 mesh mode (VSFilter.cpp:269-280) against the "
+                         "same homography oracle — on this rigid fixture the "
+                         "mesh solve must recover the global motion, so the "
+                         "trajectory bound applies unchanged")
     args = ap.parse_args()
 
     import jax
@@ -192,12 +199,26 @@ def main() -> None:
     x_sel = np.asarray(x_sel)
 
     # ---- ours ------------------------------------------------------------
+    tracker_kw = {}
+    if args.model == "field":
+        from livevisionkit_tpu.config import MeshMotionSettings
+
+        # The reference's experimental Vector Field preset scaled to the
+        # fixture: 16x16 mesh, relaxed inlier threshold (VSFilter.cpp:
+        # 269-280).  The oracle stays the 2x2/homography pipeline — the
+        # fixture's motion IS a homography, so a correct mesh solve must
+        # land on the same trajectory.
+        tracker_kw = dict(
+            motion_resolution=(16, 16),
+            mesh=MeshMotionSettings(inlier_threshold_px=10.0),
+        )
     st = StabilizationFilterSettings(
         tracker=FrameTrackerSettings(
             detection_size=(120, 168),
             detector=FeatureDetectorSettings(grid_shape=(10, 14),
                                              fast_threshold_init=0.06),
             min_motion_samples=15,
+            **tracker_kw,
         ),
         smoother=PathSmootherSettings(
             predictive_samples=predictive,
@@ -263,7 +284,9 @@ def main() -> None:
     s_oracle = stats(x_sel, y_oracle)
     s_ours = stats(x_ours, y_ours)
     row = {
-        "metric": "oracle_pipeline_trajectory",
+        "metric": ("oracle_pipeline_trajectory" if args.model == "homography"
+                   else "oracle_pipeline_trajectory_mesh"),
+        "model": args.model,
         "frames": n,
         "size": f"{h}x{w}",
         "predictive_samples": predictive,
