@@ -62,9 +62,22 @@ class StreamBuffer(struct.PyTreeNode):
 
     # ---- mutation (returns new buffer) -------------------------------------
 
-    def push(self, elem: Any) -> "StreamBuffer":
+    def push(self, elem: Any, advance: jax.Array | None = None) -> "StreamBuffer":
         """Append; evicts the oldest element when full (reference
-        StreamBuffer::push/advance)."""
+        StreamBuffer::push/advance).
+
+        `advance` (traced bool, default always-true) gates the COUNTERS only:
+        when false, `elem` is still written — to the slot a normal push would
+        use, which when full holds the already-evicted previous oldest and
+        when not-full is free — but start/count stay put, so the window's
+        contents survive and the write is reclaimed by the next advancing
+        push.  This makes a conditional push O(1) with zero extra data
+        movement (a `where` over the buffer pytree would copy the whole
+        window — ~70 MB/step for the 1080p frame delay queue); the cost is
+        that `oldest()` after a full non-advancing push returns `elem`
+        itself, which delay-queue callers want anyway (an invalid bubble in,
+        an invalid output tick out).
+        """
         # When not full we write at logical index `count`; when full the write
         # lands on the oldest slot, which then becomes the newest.
         full = self.is_full()
@@ -76,6 +89,10 @@ class StreamBuffer(struct.PyTreeNode):
             full, jax.lax.rem(self.start + 1, self.capacity), self.start
         )
         new_count = jax.lax.select(full, self.count, self.count + 1)
+        if advance is not None:
+            adv = jnp.asarray(advance, jnp.bool_)
+            new_start = jax.lax.select(adv, new_start, self.start)
+            new_count = jax.lax.select(adv, new_count, self.count)
         return self.replace(data=new_data, start=new_start, count=new_count)
 
     def skip(self, n: int | jax.Array = 1) -> "StreamBuffer":

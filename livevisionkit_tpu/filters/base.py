@@ -77,8 +77,18 @@ class VideoFilter:
         """Create the initial state pytree for a stream of `spec` frames."""
         return ()
 
-    def step(self, state: Any, frame: Frame) -> tuple[Any, Frame]:
-        """Process one frame. Must be jit-traceable with static `self`."""
+    def step(self, state: Any, frame: Frame, *, drain: bool = False) -> tuple[Any, Frame]:
+        """Process one frame. Must be jit-traceable with static `self`.
+
+        `drain` (static) marks END-OF-STREAM flushing: the runtime feeds
+        valid=False bubble frames to push delay-queue residents out.  Delay
+        filters must ADVANCE their temporal machinery on drain bubbles
+        (with identity motion) so queued real frames emit, whereas ordinary
+        invalid frames (a slow stream's stall tick, an upstream filter's
+        warm-up) FREEZE it — advancing on those desynchronizes the delay
+        queue from the trajectory anchor and permanently drops frames (the
+        r5 soak found exactly that).  Stateless filters ignore the flag.
+        """
         raise NotImplementedError
 
     def output_spec(self, spec: FrameSpec) -> FrameSpec:
@@ -98,7 +108,7 @@ class VideoFilter:
 class IdentityFilter(VideoFilter):
     """Pass-through (reference IdentityFilter, VideoFilter.hpp:62-64)."""
 
-    def step(self, state: Any, frame: Frame) -> tuple[Any, Frame]:
+    def step(self, state: Any, frame: Frame, *, drain: bool = False) -> tuple[Any, Frame]:
         return state, frame
 
 
@@ -117,10 +127,10 @@ class CompositeFilter(VideoFilter):
             spec = f.output_spec(spec)
         return tuple(states)
 
-    def step(self, state: Any, frame: Frame) -> tuple[Any, Frame]:
+    def step(self, state: Any, frame: Frame, *, drain: bool = False) -> tuple[Any, Frame]:
         new_states = []
         for f, s in zip(self.filters, state):
-            s, frame = f.step(s, frame)
+            s, frame = f.step(s, frame, drain=drain)
             new_states.append(s)
         return tuple(new_states), frame
 
@@ -149,7 +159,7 @@ class ConversionFilter(VideoFilter):
     target: PixelFormat
     extract_channel: int | None = None
 
-    def step(self, state: Any, frame: Frame) -> tuple[Any, Frame]:
+    def step(self, state: Any, frame: Frame, *, drain: bool = False) -> tuple[Any, Frame]:
         out = frame.reformat(self.target)
         if self.extract_channel is not None:
             if not 0 <= self.extract_channel < out.channels:

@@ -36,7 +36,7 @@ class DeblockingFilter(VideoFilter):
         default_factory=DeblockingFilterSettings
     )
 
-    def step(self, state: Any, frame: Frame) -> tuple[Any, Frame]:
+    def step(self, state: Any, frame: Frame, *, drain: bool = False) -> tuple[Any, Frame]:
         s = self.settings
         block = s.block_size
         c, h, w = frame.pixels.shape

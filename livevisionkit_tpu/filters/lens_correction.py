@@ -40,7 +40,7 @@ class LensCorrectionFilter(VideoFilter):
             self.parameters, spec.size, self.field_shape, self.alpha
         )
 
-    def step(self, state: Any, frame: Frame) -> tuple[Any, Frame]:
+    def step(self, state: Any, frame: Frame, *, drain: bool = False) -> tuple[Any, Frame]:
         field: WarpField = state
         if frame.alpha is None:
             return state, frame.with_pixels(

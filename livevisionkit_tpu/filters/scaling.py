@@ -22,7 +22,7 @@ from livevisionkit_tpu.ops import easu, rcas
 class ScalingFilter(VideoFilter):
     settings: ScalingFilterSettings = field(default_factory=ScalingFilterSettings)
 
-    def step(self, state: Any, frame: Frame) -> tuple[Any, Frame]:
+    def step(self, state: Any, frame: Frame, *, drain: bool = False) -> tuple[Any, Frame]:
         s = self.settings
         px = frame.pixels
         if s.output_size is not None and frame.size != tuple(s.output_size):

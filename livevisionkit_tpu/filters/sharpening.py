@@ -22,7 +22,7 @@ from livevisionkit_tpu.ops import cas as cas_ops
 class CASFilter(VideoFilter):
     settings: CASFilterSettings = field(default_factory=CASFilterSettings)
 
-    def step(self, state: Any, frame: Frame) -> tuple[Any, Frame]:
+    def step(self, state: Any, frame: Frame, *, drain: bool = False) -> tuple[Any, Frame]:
         return state, frame.with_pixels(
             cas_ops.cas(frame.pixels, self.settings.sharpness)
         )

@@ -135,8 +135,19 @@ class StabilizationFilter(VideoFilter):
         # from_homography builds o = H^-1(u) - u; we need o = z(u) - u.
         return WarpField.from_homography(z.inverse(), field_shape, size)
 
-    def step(self, state: StabilizerState, frame: Frame) -> tuple[Any, Frame]:
+    def step(
+        self, state: StabilizerState, frame: Frame, *, drain: bool = False
+    ) -> tuple[Any, Frame]:
         s = self.settings
+        # Temporal machinery (delay queue + trajectory window) advances on
+        # valid frames — and on drain bubbles too, with identity motion (see
+        # VideoFilter.step; `drain` may be a traced per-stream bool, so an
+        # EOF'd slot in a serving batch drains its residue while live slots
+        # continue).  A non-drain invalid frame (stall tick / upstream
+        # warm-up) freezes both IN LOCKSTEP: the smoother's anchor index and
+        # the delay queue must stay paired, or real frames pop while `ready`
+        # lags and are dropped (r5 soak bug).
+        advance = jnp.logical_or(frame.valid, jnp.asarray(drain, jnp.bool_))
 
         if self.enabled:
             # ---- track (on valid frames only) -----------------------------
@@ -177,21 +188,32 @@ class StabilizationFilter(VideoFilter):
             motion = WarpField.identity(s.tracker.motion_resolution)
 
         # ---- path smoothing ----------------------------------------------
+        # Invalid frames carry identity motion (the tracker result on a
+        # bubble is garbage): on a drain bubble the window advances flat; on
+        # a frozen tick the smoother state is reverted below anyway.
+        motion = where_state(
+            frame.valid, motion,
+            WarpField.identity(s.tracker.motion_resolution),
+        )
         smoother_state, correction, ready = path_smoother.next_correction(
             state.smoother, motion, s.smoother
         )
-        smoother_state = where_state(frame.valid, smoother_state, state.smoother)
+        smoother_state = where_state(advance, smoother_state, state.smoother)
 
         # ---- delay queue --------------------------------------------------
         # u8 storage quantizes on push / dequantizes on pop (exactly the
         # reference's 8-bit frame storage); the cast must be explicit — a
         # raw float->u8 astype would truncate [0,1] floats to zero.
+        # The push is `advance`-gated: stall bubbles land in the dead slot
+        # (already-emitted / free) without moving the window, so oldest()
+        # returns the bubble itself (-> invalid output tick) and no queued
+        # real frame is lost.
         if s.queue_dtype == "uint8":
-            frames = state.frames.push(_quantize_u8(frame))
+            frames = state.frames.push(_quantize_u8(frame), advance=advance)
             delayed_q: Frame | None = frames.oldest()  # raw u8 payload
             delayed: Frame = _dequantize_u8(delayed_q)
         else:
-            frames = state.frames.push(frame)
+            frames = state.frames.push(frame, advance=advance)
             delayed_q = None
             delayed = frames.oldest()
         queue_full = frames.is_full()

@@ -16,7 +16,9 @@ Design:
     uploads it as a single (S, H, W, 3) sharded array, and dispatches the
     jitted step without syncing (async dispatch pipelines ahead);
   * streams that end early keep their slot occupied with valid=False bubbles
-    (static shapes; their outputs are dropped on drain) until all end;
+    (static shapes) flagged drain=True, so their delay-queue residue emits
+    while the other streams still run; merely-stalled streams get
+    drain=False bubbles that FREEZE their temporal state (no frame loss);
   * a small in-flight window bounds device-ahead depth; draining syncs the
     oldest batch and fans results out to per-stream writer threads.
 """
@@ -132,17 +134,21 @@ def stream_multi(
 
     bgr = PixelFormat.BGR
 
-    def one_step(state, raw_u8, ts, live):
+    def one_step(state, raw_u8, ts, live, drain):
         x = raw_u8.astype(jnp.float32).transpose(2, 0, 1) * (1.0 / 255.0)
         frame = Frame.create(x, timestamp=ts, fmt=bgr, valid=live)
         frame = frame.reformat(work_format)
-        state, out = filt.step(state, frame)
+        state, out = filt.step(state, frame, drain=drain)
         out = out.reformat(bgr)
         return state, (out.pixels, out.timestamp, out.valid)
 
-    def batch_step(states, raws, tss, lives):
-        return jax.vmap(one_step)(states, raws, tss, lives)
+    def batch_step(states, raws, tss, lives, drains):
+        return jax.vmap(one_step)(states, raws, tss, lives, drains)
 
+    # `drains` is a traced per-stream flag: an EOF'd slot DRAINS its delay
+    # queue (bubbles advance it with identity motion, emitting the residue
+    # while other streams still run), a merely-stalled slot FREEZES it (no
+    # frame loss; see VideoFilter.step).  The terminal flush drains all.
     step = jax.jit(batch_step, donate_argnums=0)
 
     batch_sharding = (
@@ -167,7 +173,9 @@ def stream_multi(
                     out_qs[i].put((px_np[i], float(ts_np[i])))
 
     eof = [False] * n
+    drained = [0] * n  # batches dispatched since stream i's EOF
     last_frame = [None] * n  # keeps slot shape for EOF bubbles
+    delay = getattr(filt, "delay", 0)
     try:
         while not stop_event.is_set() and not all(eof):
             raws, tss, lives = [], [], []
@@ -204,6 +212,17 @@ def stream_multi(
                     stats.frames_in += 1
             if all(eof) and not any(lives):
                 break
+            # A pure stall tick — no live frame and nothing left to drain —
+            # would dispatch a batch where every slot's state is frozen and
+            # every output invalid: skip it (a slow decoder otherwise spins
+            # thousands of no-op device batches through the stall timeout).
+            if not any(lives) and not any(
+                eof[i] and drained[i] <= delay for i in range(n)
+            ):
+                continue
+            for i in range(n):
+                if eof[i]:
+                    drained[i] += 1
             if states is None:
                 h, w = raws[0].shape[:2]
                 spec = FrameSpec(
@@ -231,6 +250,7 @@ def stream_multi(
             states, out = step(
                 states, dev, jnp.asarray(tss, jnp.float32),
                 jnp.asarray(lives, jnp.bool_),
+                jnp.asarray(eof, jnp.bool_),
             )
             stats.batches += 1
             pending.append(out)
@@ -248,9 +268,10 @@ def stream_multi(
                 else jnp.asarray(bubble_np)
             )
             lives_off = jnp.zeros((n,), jnp.bool_)
+            drain_all = jnp.ones((n,), jnp.bool_)
             tss0 = jnp.zeros((n,), jnp.float32)
             for _ in range(getattr(filt, "delay", 0)):
-                states, out = step(states, bubble, tss0, lives_off)
+                states, out = step(states, bubble, tss0, lives_off, drain_all)
                 stats.batches += 1
                 pending.append(out)
         drain(block_all=True)
