@@ -120,13 +120,15 @@ def remap(
     Pallas path costs ~1.5 ms/stream at batch 8 (vs 0.62 solo) because its
     mean-shift removal is a per-stream `lax.dynamic_slice`, which XLA lowers
     as a gather under vmap — measured ~5.7 ms extra at S=8 even with
-    lane-aligned offsets, and sequential/unrolled per-stream slices are no
-    better (misaligned HBM slice starts).  `remap` therefore wires a
-    `custom_vmap` rule that dispatches batched calls to
-    `pallas_remap_batched`, which applies per-stream shifts through
-    scalar-prefetched index maps instead (see its docstring).  The XLA
-    gather path at batch 8 faults this environment's TPU backend outright —
-    keep the Pallas dispatch for batched serving.
+    lane-aligned offsets.  `remap` therefore wires a `custom_vmap` rule
+    that bypasses the default vmap lifting: it runs the solo kernel per
+    stream under a sequential `lax.map` (the stream axis becomes a scan
+    axis, so the mean shift stays a slice) — measured r5 at S=8 u8 1080p:
+    0.62 ms/stream bilinear / 1.54 EASU, beating the scalar-prefetch
+    batched kernels (1.14 / 2.18; see the rule in `_pallas_core` for the
+    breakdown and LVK_BATCHED_WARP to flip).  The XLA gather path at batch
+    8 faults this environment's TPU backend outright — keep the Pallas
+    dispatch for batched serving.
     """
     if filter_mode not in ("bilinear", "easu"):
         raise ValueError(f"unknown filter_mode {filter_mode!r}")
@@ -208,17 +210,33 @@ def _pallas_core(interpret: bool, filter_mode: str = "bilinear", fmt=None):
             img_b = jnp.broadcast_to(img_b[None], (axis_size,) + img_b.shape)
         if not smap_bat:
             smap_b = jnp.broadcast_to(smap_b[None], (axis_size,) + smap_b.shape)
-        if filter_mode == "easu":
-            # Batched EASU kernel for every format: luma = plane 0 (real
-            # channel 0 for YUV/GRAY; a wrapper-synthesized 2x-luma plane
-            # for RGB-family formats), so the tap weights are computed once
-            # per tile at the luma grid step and reused for the remaining
-            # channels (see _easu_kernel_batched / pallas_remap_batched).
+        # DEFAULT: sequential solo kernels under lax.map.  Measured on the
+        # chip (r5, S=8 1080p u8, serving-scale poses): lax.map solo beats
+        # the batched scalar-prefetch kernels for BOTH filters — bilinear
+        # 4.9 ms vs 9.1, EASU 12.3 ms vs 17.4.  The batched kernels pay a
+        # widened margin (m_eff = margin + b/2 block-residual absorption:
+        # ~33% wider shift-select planes), a per-channel-step staging copy,
+        # and 21 DMA descriptors per grid step (ablation r5: 4.4 ms floor
+        # with ALL compute ablated); under lax.map the per-stream
+        # dynamic-slice mean shift is a slice (the stream axis is a scan
+        # axis), so the r3 vmap-gather penalty that motivated the batched
+        # path never applies.  LVK_BATCHED_WARP=kernel re-enables the
+        # batched dispatch for future re-evaluation (it may win where
+        # per-stream displacements diverge by >max_shift or on hardware
+        # with cheaper descriptor setup).
+        if os.environ.get("LVK_BATCHED_WARP", "").lower() == "kernel":
             return pwarp.pallas_remap_batched(
                 img_b, smap_b, interpret=interpret,
-                filter_mode="easu", fmt=fmt,
+                filter_mode=filter_mode, fmt=fmt,
             ), True
-        return pwarp.pallas_remap_batched(img_b, smap_b, interpret=interpret), True
+        out = jax.lax.map(
+            lambda args: pwarp.pallas_remap(
+                args[0], args[1], fill=None, fill_mode=False,
+                interpret=interpret, filter_mode=filter_mode, fmt=fmt,
+            ),
+            (img_b, smap_b),
+        )
+        return out, True
 
     _PALLAS_CORE_CACHE[key] = core
     return core

@@ -90,7 +90,8 @@ def _perm_mm(x, p_ref, dims):
     return d(hi) + d(lo)
 
 
-def _easu2x_kernel(*refs, channels: int, p: int, fmt: PixelFormat):
+def _easu2x_kernel(*refs, channels: int, p: int, fmt: PixelFormat,
+                   ablate: frozenset = frozenset()):
     c = channels
     ph = 2 * p
     kh, kw = _KH, _KW
@@ -119,6 +120,10 @@ def _easu2x_kernel(*refs, channels: int, p: int, fmt: PixelFormat):
     for ch in range(c):
         v = r_s[ch].reshape(2 * kh, 2, 4 * kw)  # sublane parity split
         for e in range(2):
+            if "deperm" in ablate:  # profiling only: skip column deinterleave
+                s_par[e, 0, ch] = v[:, e, : 2 * kw]
+                s_par[e, 1, ch] = v[:, e, 2 * kw :]
+                continue
             # Column deinterleave: raw col 2j+f -> half f, col j (exact:
             # permutation entries are 1.0, and bf16x6 passes reproduce f32).
             half = _perm_mm(
@@ -145,7 +150,9 @@ def _easu2x_kernel(*refs, channels: int, p: int, fmt: PixelFormat):
     # up/left), so starting the e=0/f=0 computation at offset 1 keeps every
     # slice in range.
     rh, rw = kh + 8, kw + 8  # corner reach: o <= (p+2)//2 + KH
-    for e in range(2):
+    if "dir" in ablate:  # profiling only: skip direction precompute
+        dp_s[...] = jnp.zeros(dp_s.shape, dp_s.dtype)
+    for e in range(2 if "dir" not in ablate else 0):
         for f in range(2):
             se = 1 - e  # first valid assembled row for this parity
             sf = 1 - f
@@ -219,27 +226,47 @@ def _easu2x_kernel(*refs, channels: int, p: int, fmt: PixelFormat):
                 letter: tap_v[(by + dy, bx + dx)]
                 for letter, (dx, dy) in easu_ops._TAPS.items()
             }
-            cols.append(
-                easu_ops._easu_filter(px, dirx, diry, length, fpx, fpy)
-            )
+            if "weights" in ablate:  # profiling only: uniform-weight taps
+                acc = jnp.zeros_like(px["f"])
+                for letter in easu_ops._TAPS:
+                    acc = acc + px[letter]
+                cols.append(acc * (1.0 / 12.0) + 0.0 * (dirx + diry + length))
+            elif "taps" in ablate:  # profiling only: weights but one tap
+                dxx, dyx, dxy, dyy, clp, cw1, cw2, cw3, cw4 = (
+                    easu_ops._shape_kernel(dirx, diry, length)
+                )
+                vx = (0.0 - fpx) * dxx + (0.0 - fpy) * dxy
+                d2 = jnp.minimum(vx * vx, clp)
+                w = 1.0 + d2 * (cw1 + d2 * (cw2 + d2 * (cw3 + d2 * cw4)))
+                cols.append(px["f"] * w)
+            else:
+                cols.append(
+                    easu_ops._easu_filter(px, dirx, diry, length, fpx, fpy)
+                )
         # Lane (x) interleave: Mosaic cannot reshape across lanes, but a
         # permutation MATMUL is exact (each output is exactly one 1.0 * x
         # product; 1.0 and x round-trip any MXU pass precision) and
         # near-free on the MXU — phase-major concat -> pixel-major band.
         cat = jnp.concatenate(cols, axis=-1)  # (C, KH, ph*KW) phase-major
-        rows.append(_perm_mm(cat, perm_ref[...], (((2,), (0,)), ((), ()))))
+        if "interleave" in ablate:  # profiling only: phase-major output
+            rows.append(cat)
+        else:
+            rows.append(_perm_mm(cat, perm_ref[...], (((2,), (0,)), ((), ()))))
     # Sublane (y) interleave: (C, KH, ph, TW) -> (C, KH*ph, TW) merges
     # sublane dims only — Mosaic supports this reshape (strided stores
     # would need a 128-wide base memref).
     out_ref[...] = jnp.stack(rows, axis=2).reshape(c, kh * ph, kw * ph)
 
 
-@functools.partial(jax.jit, static_argnames=("p", "fmt", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("p", "fmt", "interpret", "_ablate")
+)
 def pallas_easu_up(
     img: jax.Array,
     p: int = 2,
     fmt: PixelFormat = PixelFormat.YUV,
     interpret: bool = False,
+    _ablate: tuple = (),  # profiling only: kernel stages to skip (wrong output)
 ) -> jax.Array:
     """EASU integer upscale by p via the fused Pallas kernel.
 
@@ -286,7 +313,10 @@ def pallas_easu_up(
             perm[rx * kw + j, ph * j + rx] = 1.0
     perm = jnp.asarray(perm)
 
-    kernel = functools.partial(_easu2x_kernel, channels=c, p=p, fmt=fmt)
+    kernel = functools.partial(
+        _easu2x_kernel, channels=c, p=p, fmt=fmt,
+        ablate=frozenset(_ablate),
+    )
     src_specs = [
         pl.BlockSpec(
             (c, 2 * kh, 2 * kw),

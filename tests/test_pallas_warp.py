@@ -214,6 +214,7 @@ def test_remap_batched_dispatch(rng, monkeypatch):
 
     monkeypatch.setattr(pwarp, "pallas_remap_batched", spy)
     monkeypatch.setenv("LVK_REMAP", "pallas")
+    monkeypatch.setenv("LVK_BATCHED_WARP", "kernel")
     got = np.asarray(
         jax.vmap(lambda im, sm: remap_ops.remap(im, sm, fill=0.25))(srcs, smaps)
     )
@@ -231,6 +232,7 @@ def test_u8_source_roundtrip(rng, monkeypatch):
     """uint8 frames ride the Pallas path as u8 (pad + DMA in u8, in-VMEM
     cast, quantized u8 output = reference 8-bit UMat semantics)."""
     monkeypatch.setenv("LVK_REMAP", "pallas")
+    monkeypatch.setenv("LVK_BATCHED_WARP", "kernel")
     src_f = fixtures.make_texture(96, 128, rng)
     src_u8 = jnp.asarray(
         np.clip(np.asarray(src_f) * 255 + 0.5, 0, 255).astype(np.uint8)
@@ -443,6 +445,7 @@ def test_easu_batched_rgb_u8_dispatch(rng, monkeypatch):
 
     monkeypatch.setattr(pwarp, "pallas_remap_batched", spy)
     monkeypatch.setenv("LVK_REMAP", "pallas")
+    monkeypatch.setenv("LVK_BATCHED_WARP", "kernel")
     got = jax.vmap(
         lambda im, sm: remap_ops.remap(
             im, sm, fill=0.0, filter_mode="easu", fmt=PixelFormat.BGR
@@ -474,6 +477,46 @@ def test_easu_batched_rgb_u8_dispatch(rng, monkeypatch):
     assert err.mean() < 0.5, err.mean()
 
 
+def test_batched_default_dispatch_lax_map(rng, monkeypatch):
+    """The DEFAULT batched dispatch (r5): jax.vmap(remap) routes to solo
+    pallas_remap per stream under lax.map — measured faster than the
+    scalar-prefetch batched kernels at serving shapes (see the rule in
+    ops/remap._pallas_core).  The batched kernels stay reachable via
+    LVK_BATCHED_WARP=kernel (tests above)."""
+    from livevisionkit_tpu.types import PixelFormat
+
+    srcs, smaps = _batched_case(rng, channels=3)
+    batched_calls, solo_calls = [], []
+    orig_b, orig_s = pwarp.pallas_remap_batched, pwarp.pallas_remap
+
+    def spy_b(src_b, smap_b, **kw):
+        batched_calls.append(kw.get("filter_mode"))
+        return orig_b(src_b, smap_b, **kw)
+
+    def spy_s(src, smap, **kw):
+        solo_calls.append(kw.get("filter_mode"))
+        kw.update(tile=(64, 64), margin=16)
+        return orig_s(src, smap, **kw)
+
+    monkeypatch.setattr(pwarp, "pallas_remap_batched", spy_b)
+    monkeypatch.setattr(pwarp, "pallas_remap", spy_s)
+    monkeypatch.setenv("LVK_REMAP", "pallas")
+    for mode in ("bilinear", "easu"):
+        got = jax.vmap(
+            lambda im, sm: remap_ops.remap(
+                im, sm, fill=0.0, filter_mode=mode, fmt=PixelFormat.YUV
+            )
+        )(srcs, smaps)
+        assert got.shape == srcs.shape
+    assert not batched_calls, batched_calls
+    # lax.map traces the solo kernel (possibly more than once per call —
+    # scan body + shape pass); every trace must carry the right mode.
+    assert set(solo_calls[:2]) == {"bilinear"} and "easu" in solo_calls, (
+        solo_calls
+    )
+    assert all(m in ("bilinear", "easu") for m in solo_calls), solo_calls
+
+
 def test_easu_batched_dispatch_and_u8(rng, monkeypatch):
     """jax.vmap(remap) with filter_mode='easu' + YUV must route into the
     batched EASU kernel (not the sequential lax.map fallback), preserving
@@ -495,6 +538,7 @@ def test_easu_batched_dispatch_and_u8(rng, monkeypatch):
 
     monkeypatch.setattr(pwarp, "pallas_remap_batched", spy)
     monkeypatch.setenv("LVK_REMAP", "pallas")
+    monkeypatch.setenv("LVK_BATCHED_WARP", "kernel")
     got = jax.vmap(
         lambda im, sm: remap_ops.remap(
             im, sm, fill=0.0, filter_mode="easu", fmt=PixelFormat.YUV
