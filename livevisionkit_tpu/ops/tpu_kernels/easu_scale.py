@@ -91,10 +91,10 @@ def _perm_mm(x, p_ref, dims):
 
 
 def _easu2x_kernel(*refs, channels: int, p: int, fmt: PixelFormat,
+                   kh: int, kw: int,
                    ablate: frozenset = frozenset()):
     c = channels
     ph = 2 * p
-    kh, kw = _KH, _KW
     consts = _phase_consts(p)
 
     # refs: 4 neighbour blocks of the RAW padded source, the column
@@ -259,7 +259,7 @@ def _easu2x_kernel(*refs, channels: int, p: int, fmt: PixelFormat,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("p", "fmt", "interpret", "_ablate")
+    jax.jit, static_argnames=("p", "fmt", "interpret", "_ablate", "kh")
 )
 def pallas_easu_up(
     img: jax.Array,
@@ -267,6 +267,7 @@ def pallas_easu_up(
     fmt: PixelFormat = PixelFormat.YUV,
     interpret: bool = False,
     _ablate: tuple = (),  # profiling only: kernel stages to skip (wrong output)
+    kh: int | None = None,  # phase-tile height override (default _KH)
 ) -> jax.Array:
     """EASU integer upscale by p via the fused Pallas kernel.
 
@@ -283,7 +284,8 @@ def pallas_easu_up(
     assert ih >= 32 and iw >= 32, "border strips need >= 32 px source extents"
     ph = 2 * p
     oh, ow = p * ih, p * iw
-    kh, kw = _KH, _KW
+    kh = kh or _KH
+    kw = _KW
     th, tw = ph * kh, ph * kw
     gh, gw = -(-oh // th), -(-ow // tw)
 
@@ -314,7 +316,7 @@ def pallas_easu_up(
     perm = jnp.asarray(perm)
 
     kernel = functools.partial(
-        _easu2x_kernel, channels=c, p=p, fmt=fmt,
+        _easu2x_kernel, channels=c, p=p, fmt=fmt, kh=kh, kw=kw,
         ablate=frozenset(_ablate),
     )
     src_specs = [
@@ -345,6 +347,13 @@ def pallas_easu_up(
         ],
         out_shape=jax.ShapeDtypeStruct((c, gh * th, gw * tw), jnp.float32),
         interpret=interpret,
+        # kh=64 needs ~19 MB of scoped VMEM (scratch + tap-view values) vs
+        # the 16 MB default budget; v5e has headroom (same override as the
+        # batched warp kernel).
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=28 * 1024 * 1024)
+            if kh > 32 else None
+        ),
     )(sp, sp, sp, sp, deperm, perm)
     out = out[:, :oh, :ow]
 
