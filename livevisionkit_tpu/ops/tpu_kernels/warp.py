@@ -251,25 +251,6 @@ def _easu_kernel(
     t_lo = jnp.min(t0i)
     t_hi = jnp.max(t0i)
 
-    # t_s layout: (16 taps, C, TH, TW) + fy aligned in the last slot.
-    t_s[...] = jnp.zeros(t_s.shape, t_s.dtype)
-
-    def hbody(s, _):
-        mk = (t0i == s).astype(jnp.float32)
-        # One dynamic roll per (row tap, channel) aligns col s-1 to col 0;
-        # the 4 column taps are then static slices of the rolled plane.
-        for rt in range(4):
-            for c in range(channels):
-                r = pltpu.roll(r_s[rt, c, :, :], -(s - 1), axis=1)
-                for ct in range(4):  # dc = ct - 1; rolled col = dc + 1
-                    t_s[rt * 4 + ct, c, :, :] += mk * r[:, ct : ct + tw]
-        rf = pltpu.roll(r_s[0, channels, :, :], -s, axis=1)
-        t_s[16, 0, :, :] += mk * rf[:, 0:tw]
-        return 0
-
-    lax.fori_loop(t_lo, t_hi + 1, hbody, 0)
-
-    # ---- EASU math on the aligned taps -------------------------------------
     # Tap letters on the 4x4 grid (rows -1..2 of floor, cols -1..2):
     #        .  b  c  .
     #        e  f  g  h
@@ -281,10 +262,37 @@ def _easu_kernel(
         (2, 0): "i", (2, 1): "j", (2, 2): "k", (2, 3): "l",
         (3, 1): "n", (3, 2): "o",
     }
+    slot_of = {rc: i for i, rc in enumerate(grid_letters)}
+
+    # t_s layout: (12 EASU taps, C, TH, TW) + fy aligned in slot 12.  The
+    # 4x4 corners are NOT EASU taps (FSR.cl:100-127) — accumulating them
+    # was ~25% wasted h-loop work per channel (r5).
+    t_s[...] = jnp.zeros(t_s.shape, t_s.dtype)
+
+    def hbody(s, _):
+        mk = (t0i == s).astype(jnp.float32)
+        # One dynamic roll per (row tap, channel) aligns col s-1 to col 0;
+        # the 4 column taps are then static slices of the rolled plane.
+        for rt in range(4):
+            for c in range(channels):
+                r = pltpu.roll(r_s[rt, c, :, :], -(s - 1), axis=1)
+                for ct in range(4):  # dc = ct - 1; rolled col = dc + 1
+                    if (rt, ct) not in slot_of:
+                        continue
+                    t_s[slot_of[(rt, ct)], c, :, :] += mk * r[:, ct : ct + tw]
+        rf = pltpu.roll(r_s[0, channels, :, :], -s, axis=1)
+        t_s[12, 0, :, :] += mk * rf[:, 0:tw]
+        return 0
+
+    lax.fori_loop(t_lo, t_hi + 1, hbody, 0)
+
+    # ---- EASU math on the aligned taps -------------------------------------
     px = {}
     for (rt, ct), letter in grid_letters.items():
-        px[letter] = jnp.stack([t_s[rt * 4 + ct, c, :, :] for c in range(channels)])
-    ppy = t_s[16, 0, :, :]
+        px[letter] = jnp.stack(
+            [t_s[slot_of[(rt, ct)], c, :, :] for c in range(channels)]
+        )
+    ppy = t_s[12, 0, :, :]
     ppx = fx
     out = easu_ops._easu_core(px, ppx, ppy, fmt)
     if out_ref.dtype == jnp.uint8:
@@ -418,7 +426,7 @@ def pallas_remap(
             pltpu.VMEM(
                 (4, c + 1, th, _round_up(tw + 2 * margin + 4, 128)), jnp.float32
             ),
-            pltpu.VMEM((17, c, th, tw), jnp.float32),
+            pltpu.VMEM((13, c, th, tw), jnp.float32),
         ]
     else:
         kernel = functools.partial(

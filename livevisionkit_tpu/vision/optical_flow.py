@@ -88,7 +88,16 @@ def _extract_blocks(
     base_xy: jax.Array,  # (N, 2) int32 top-left corners (x, y)
     taps: int,
 ) -> jax.Array:
-    """(N, C, taps, taps) integer-aligned blocks, gather-free.
+    """(C, taps, taps, N) integer-aligned blocks, gather-free — N LAST.
+
+    Layout note (r5): all downstream window math (bilinear shift, Scharr,
+    residual/gradient reductions) is elementwise over windows whose spatial
+    extent is ~12 — putting that on the 128-lane axis ran the whole
+    iteration loop at <10% VPU utilization, which is why pyramid levels 1/2
+    cost almost as much as level 0 (measured 1.87/1.40/1.19 ms at S=8
+    despite 4x/16x smaller images: the cost is N-driven).  With N on the
+    lane axis (510 features ~= 4 full lane groups) the window tensors
+    vectorize fully.
 
     Rows: one one-hot einsum (N*taps, H) @ (H, W) on the MXU.  Columns in two
     stages — a coarse one-hot-masked reduction picks the 2 adjacent
@@ -135,37 +144,38 @@ def _extract_blocks(
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * blk), 2)
     sel = (pos == want).astype(jnp.float32)  # (N, t, 2*blk)
     return jnp.einsum(
-        "nciw,njw->ncij", patch, sel, preferred_element_type=jnp.float32
+        "nciw,njw->cijn", patch, sel, preferred_element_type=jnp.float32
     )
 
 
 def _bilinear_windows(
-    blocks: jax.Array,  # (N, C, win+1, win+1) integer blocks
+    blocks: jax.Array,  # (C, win+1, win+1, N) integer blocks, N last
     frac_xy: jax.Array,  # (N, 2) fractional offsets
 ) -> jax.Array:
-    """(N, C, win, win) bilinearly shifted windows from integer blocks."""
-    fx = frac_xy[:, 0][:, None, None, None]
-    fy = frac_xy[:, 1][:, None, None, None]
-    b00 = blocks[:, :, :-1, :-1]
-    b01 = blocks[:, :, :-1, 1:]
-    b10 = blocks[:, :, 1:, :-1]
-    b11 = blocks[:, :, 1:, 1:]
+    """(C, win, win, N) bilinearly shifted windows from integer blocks."""
+    fx = frac_xy[:, 0][None, None, None, :]
+    fy = frac_xy[:, 1][None, None, None, :]
+    b00 = blocks[:, :-1, :-1, :]
+    b01 = blocks[:, :-1, 1:, :]
+    b10 = blocks[:, 1:, :-1, :]
+    b11 = blocks[:, 1:, 1:, :]
     top = b00 + (b01 - b00) * fx
     bot = b10 + (b11 - b10) * fx
     return top + (bot - top) * fy
 
 
 def _patch_scharr(bwin: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """(dx, dy) Scharr gradients of the interior of (N, win+2, win+2) patches.
+    """(dx, dy) Scharr gradients of the interior of (win+2, win+2, N)
+    patches (N last).
 
     Numerically identical to sampling full-image Scharr gradients (away from
     image borders): the 3x3 stencil commutes with the uniform bilinear shift
     already applied to the patch.
     """
-    sv = (3.0 * bwin[:, :-2, :] + 10.0 * bwin[:, 1:-1, :] + 3.0 * bwin[:, 2:, :]) / 32.0
-    gx = sv[:, :, 2:] - sv[:, :, :-2]
-    dv = bwin[:, 2:, :] - bwin[:, :-2, :]
-    gy = (3.0 * dv[:, :, :-2] + 10.0 * dv[:, :, 1:-1] + 3.0 * dv[:, :, 2:]) / 32.0
+    sv = (3.0 * bwin[:-2, :, :] + 10.0 * bwin[1:-1, :, :] + 3.0 * bwin[2:, :, :]) / 32.0
+    gx = sv[:, 2:, :] - sv[:, :-2, :]
+    dv = bwin[2:, :, :] - bwin[:-2, :, :]
+    gy = (3.0 * dv[:, :-2, :] + 10.0 * dv[:, 1:-1, :] + 3.0 * dv[:, 2:, :]) / 32.0
     return gx, gy
 
 
@@ -197,18 +207,20 @@ def _track_level(
         return base, frac
 
     # Template block with a 1-px gradient halo: single-plane extraction.
+    # All window tensors below are (win-ish, win-ish, N): N rides the lane
+    # axis (see _extract_blocks layout note).
     base_t, frac_t = split(pts)
     tmpl_blocks = _extract_blocks(
         prev_img[None], base_t - 1, taps + 2
-    )  # (N, 1, win+3, win+3)
-    bwin = _bilinear_windows(tmpl_blocks, frac_t)[:, 0]  # (N, win+2, win+2)
-    tmpl = bwin[:, 1:-1, 1:-1]
+    )  # (1, win+3, win+3, N)
+    bwin = _bilinear_windows(tmpl_blocks, frac_t)[0]  # (win+2, win+2, N)
+    tmpl = bwin[1:-1, 1:-1, :]
     gx, gy = _patch_scharr(bwin)
 
     # Spatial gradient matrix (frozen across iterations, like OpenCV).
-    gxx = jnp.sum(gx * gx, axis=(1, 2))  # (N,)
-    gxy = jnp.sum(gx * gy, axis=(1, 2))
-    gyy = jnp.sum(gy * gy, axis=(1, 2))
+    gxx = jnp.sum(gx * gx, axis=(0, 1))  # (N,)
+    gxy = jnp.sum(gx * gy, axis=(0, 1))
+    gyy = jnp.sum(gy * gy, axis=(0, 1))
     det = gxx * gyy - gxy * gxy
     tr = gxx + gyy
     min_eig = (tr - jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0))) / 2.0
@@ -217,14 +229,53 @@ def _track_level(
 
     # Statically unrolled Gauss-Newton iterations (unrolling lets XLA fuse
     # the solve arithmetic across iterations instead of looping a while-op).
+    # ---- iteration windows from ONE cached block per feature -------------
+    # (r5) Each Gauss-Newton iteration used to re-run the full image-wide
+    # extraction (one-hot row einsum over H + two-stage column select) at
+    # the sub-pixel-updated positions — 5 of the 6 extraction passes per
+    # level, and the reason levels 1/2 cost almost as much as level 0
+    # (measured 1.9/1.4/1.2 ms at S=8: the cost is N-driven, not
+    # image-driven).  Instead, ONE extraction fetches a (taps+2m)-wide
+    # block around the warm-start iterate, and the iterations re-select
+    # their window INSIDE the cached block with small batched one-hot
+    # matmuls (~4 MMAC/iter vs the image-wide N*taps*H*W).  Deviation from
+    # the image-wide form: an iterate drifting >m px from the warm start
+    # WITHIN one level samples an edge-clamped window, so its flow
+    # converges to the block edge instead of following further (OpenCV
+    # would follow).  m=4 px/level (x2 per pyramid step) covers the
+    # tracking regime with slack — such features sit far off the
+    # inter-frame motion prior, fail the forward-target/eigen gates or
+    # land as RANSAC outliers, and the reference's own tracker discards
+    # them the same way.
+    m_it = 4
+    ext = taps + 2 * m_it
+    base0 = jnp.floor(pts + guess).astype(jnp.int32) - r - m_it  # (N,2) x,y
+    block = _extract_blocks(next_img[None], base0, ext)[0]  # (ext, ext, N)
+    base0_f = base0.astype(jnp.float32)
+
     g = guess
     for _ in range(settings.iterations):
-        base_j, frac_j = split(pts + g)
-        blocks = _extract_blocks(next_img[None], base_j, taps)
-        warped = _bilinear_windows(blocks, frac_j)[:, 0]
+        rel = (pts + g) - r - base0_f  # float window top-left, in-block
+        rel = jnp.clip(rel, 0.0, float(2 * m_it))
+        qi = jnp.floor(rel).astype(jnp.int32)
+        frac_j = rel - qi
+        # Shift-select, not one-hot matmuls: the in-block offsets take only
+        # 2m+1 values, so the window is an unrolled masked sum of STATIC
+        # slices (sublane shifts; N broadcasts over the lane axis).  The
+        # einsum form would be N tiny batched (t,ext)@(ext,ext) matmuls —
+        # terrible MXU utilization at ~12x20 per batch.
+        rowsel = jnp.zeros((taps, ext, qi.shape[0]), jnp.float32)
+        for sft in range(2 * m_it + 1):
+            mk = (qi[:, 1] == sft).astype(jnp.float32)
+            rowsel = rowsel + mk * block[sft : sft + taps, :, :]
+        blocks = jnp.zeros((taps, taps, qi.shape[0]), jnp.float32)
+        for sft in range(2 * m_it + 1):
+            mk = (qi[:, 0] == sft).astype(jnp.float32)
+            blocks = blocks + mk * rowsel[:, sft : sft + taps, :]
+        warped = _bilinear_windows(blocks[None], frac_j)[0]
         rr = tmpl - warped
-        bx = jnp.sum(rr * gx, axis=(1, 2))
-        by = jnp.sum(rr * gy, axis=(1, 2))
+        bx = jnp.sum(rr * gx, axis=(0, 1))
+        by = jnp.sum(rr * gy, axis=(0, 1))
         du = (gyy * bx - gxy * by) * inv_det
         dv = (gxx * by - gxy * bx) * inv_det
         g = g + jnp.stack([du, dv], axis=-1)
