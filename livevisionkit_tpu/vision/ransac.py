@@ -139,13 +139,17 @@ def _weighted_dlt(src: jax.Array, dst: jax.Array, w: jax.Array) -> jax.Array:
     a = jnp.concatenate([r1, r2], axis=0)  # (2N, 9)
     ww = jnp.concatenate([w, w], axis=0)
     m = (a * ww[:, None]).T @ a  # (9, 9) PSD normal matrix
-    # Smallest eigenvector via eigh.  Measured alternatives on TPU v5e, both
-    # SLOWER for this single small system (it is latency-bound, unlike the
-    # batched dlt4 where unrolled elimination amortizes over K hypotheses):
-    # unrolled 8x8 Gauss-Jordan on the h33=1 normal equations ~0.18 ms
-    # extra, shifted inverse iteration ~0.3 ms extra.
-    _, vecs = jnp.linalg.eigh(m)
-    h = vecs[:, 0].reshape(3, 3)
+    # h33=1 gauge: Cholesky-solve the 8x8 normal block instead of the
+    # smallest eigenvector.  eigh on TPU lowers to iterative QR — measured
+    # ~0.11 ms per 9x9 call even batched over 8 streams (r5), which made
+    # the 4-round IRLS 1.2 of RANSAC's 1.55 ms; cho_solve of the
+    # gauge-fixed system measures 0.005 ms (~20x) and is numerically
+    # equivalent for the near-identity homographies the stabilizer fits
+    # (Hartley normalization keeps the normalized h33 well away from 0).
+    # A singular system yields NaNs and irls_step keeps the previous model.
+    f = jax.scipy.linalg.cho_factor(m[:8, :8])
+    h8 = jax.scipy.linalg.cho_solve(f, -m[:8, 8])
+    h = jnp.concatenate([h8, jnp.ones((1,), h8.dtype)]).reshape(3, 3)
     h_full = _inv3(t_dst) @ h @ t_src
     return h_full / h_full[2, 2]
 
