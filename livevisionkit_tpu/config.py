@@ -197,6 +197,15 @@ class DeblockingFilterSettings:
     block_size: int = 16
     filter_size: int = 5
     filter_scaling: int = 4
+    # Block-pooling lowering: "reshape" is fastest when XLA can fuse the
+    # pools into a cheap producer (a freshly-uploaded frame), but on any
+    # REAL producer (e.g. the stabilizer's warped output in a chain) it
+    # forces a catastrophic relayout (r5: 4K vs+adb measured 20.1 ms vs
+    # 11.3 with reduce_window; standalone adb 2.2 vs 4.6).
+    # "reduce_window" consumes any layout directly.  "auto" picks reshape
+    # for unpadded standalone use; CompositeFilter rewrites mid-chain
+    # deblockers to "reduce_window" (filters/base.py).
+    pool_form: str = "auto"  # auto | reshape | reduce_window
 
 
 @dataclass(frozen=True)

@@ -120,6 +120,25 @@ class CompositeFilter(VideoFilter):
 
     filters: tuple[VideoFilter, ...]
 
+    def __post_init__(self):
+        # Mid-chain producer hint: filters whose settings expose a
+        # `pool_form` lowering choice (the deblocker) get the
+        # any-layout-safe form when they are NOT first in the chain — their
+        # input is then a real upstream output, where the fused "reshape"
+        # pooling forces catastrophic relayouts (r5: 4K vs+adb 20.1 ms vs
+        # 11.3; see DeblockingFilterSettings.pool_form).
+        rewritten = []
+        for i, f in enumerate(self.filters):
+            s = getattr(f, "settings", None)
+            if i > 0 and getattr(s, "pool_form", None) == "auto":
+                f = dataclasses.replace(
+                    f, settings=dataclasses.replace(
+                        s, pool_form="reduce_window"
+                    )
+                )
+            rewritten.append(f)
+        object.__setattr__(self, "filters", tuple(rewritten))
+
     def init(self, spec: FrameSpec) -> Any:
         states = []
         for f in self.filters:

@@ -55,11 +55,18 @@ class DeblockingFilter(VideoFilter):
 
         # Smooth frame (:73-77). The padded region is divisible by the
         # scaling (block 16 % scaling 4 == 0), so INTER_AREA == avg_pool.
-        # Pooling flavour by producer: the reshape form is fastest on
-        # native-shape inputs (4K: 2.0 vs 2.7 ms) but forces a ~2.5 ms
-        # relayout when its input is a pad (1080p); reduce_window consumes
-        # any layout directly (see avg_pool_rw).
-        pool = resample.avg_pool if (ph == h and pw == w) else resample.avg_pool_rw
+        # Pooling flavour by producer (see DeblockingFilterSettings.
+        # pool_form): the reshape form is only fast when XLA fuses the
+        # pools into a cheap producer — standalone unpadded frames; a pad
+        # (1080p) or a real upstream filter output (any chain) forces
+        # relayouts measured at 2.5-10 ms.  reduce_window consumes any
+        # layout directly.
+        form = s.pool_form
+        if form == "auto":
+            form = "reshape" if (ph == h and pw == w) else "reduce_window"
+        pool = (
+            resample.avg_pool if form == "reshape" else resample.avg_pool_rw
+        )
         small = pool(px, s.filter_scaling)
         small = resample.median_blur(small, s.filter_size)
         smooth = resample.upsample_linear_int(
