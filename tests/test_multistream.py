@@ -190,6 +190,31 @@ def test_multistream_uneven_stream_lengths(rng):
 
 
 @pytest.mark.slow
+def test_multistream_soak(rng):
+    """r4 VERDICT #8: production-duration churn — back-to-back serving
+    sessions with rotating slow/EOF streams; the tool asserts zero lost
+    frames (the r5 drain-flag fix), no deadlock, stable pacing, and
+    bounded RSS."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "bench_multistream.py"),
+         "--soak", "60", "--streams", "4", "--size", "96x128",
+         "--frames", "15"],
+        capture_output=True, text=True, timeout=900,
+        env={**{k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS",)},
+             "PYTHONPATH": "", "JAX_PLATFORMS": "cpu"},
+        cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "soak OK" in proc.stderr
+
+
+@pytest.mark.slow
 def test_multistream_loopback_driver(rng):
     """r3 VERDICT #6: the serving driver validated at speed without the
     tunnel — synthetic in-memory readers, a deliberately slow stream and an
