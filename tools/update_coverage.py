@@ -48,6 +48,8 @@ LABELS = {
         "4K-native stabilization (16×16 mesh, bilinear)",
     "4k_deblock": "4K-native adaptive de-blocking",
     "4k_cas": "4K-native CAS sharpening",
+    "4k_full_chain_fused":
+        "4K full chain vs(mesh,EASU)+adb+cas, ONE fused program",
 }
 
 TARGETS = {
@@ -59,6 +61,7 @@ TARGETS = {
     "4k_mesh_stabilization": "4K60 chain ≈ 16.6",
     "4k_deblock": "4K60 chain ≈ 16.6",
     "4k_cas": "4K60 chain ≈ 16.6",
+    "4k_full_chain_fused": "< 16.6 (whole budget)",
 }
 
 
